@@ -1,0 +1,144 @@
+"""Host-side ragged -> static packing of scene graphs.
+
+This is the collate path: many small ragged graphs (GQA graphs are ~1-100
+nodes) are concatenated, destination-sorted, and padded to a static
+(nodes_pad, edges_pad) bucket. It replaces ``Batch.from_data_list``
+(reference: gqa_dataset_entry.py:654) and runs on the host in numpy (the C++
+fast path in native/ mirrors this layout byte-for-byte).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from graphvqa_tpu.core.graph import GraphBatch
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One ragged scene graph, host-side (numpy).
+
+    node_tokens : [n, max_obj_tokens] int32
+    edge_src    : [e] int32 (graph-local indices)
+    edge_dst    : [e] int32
+    edge_tokens : [e, max_edge_tokens] int32
+    edge_sym    : [e] bool — True for dataset-added reverse edges
+                  (reference: gqa_dataset_entry.py:323-332)
+    exec_bitmap : [n, max_steps] float32 or None
+    """
+    node_tokens: np.ndarray
+    edge_src: np.ndarray
+    edge_dst: np.ndarray
+    edge_tokens: np.ndarray
+    edge_sym: np.ndarray
+    exec_bitmap: np.ndarray | None = None
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_tokens.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_src.shape[0])
+
+
+def pack_graphs(
+    samples: Sequence[GraphSample],
+    nodes_pad: int,
+    edges_pad: int,
+    max_steps: int = 5,
+    sort_by_dst: bool = True,
+) -> GraphBatch:
+    """Concatenate, (optionally) dst-sort, and pad a list of graphs.
+
+    Raises ValueError when the batch overflows the bucket — callers either pick
+    a bigger bucket (`pick_bucket`) or split the batch.
+    """
+    num_graphs = len(samples)
+    total_nodes = sum(s.num_nodes for s in samples)
+    total_edges = sum(s.num_edges for s in samples)
+    if total_nodes > nodes_pad:
+        raise ValueError(f"batch has {total_nodes} nodes > nodes_pad={nodes_pad}")
+    if total_edges > edges_pad:
+        raise ValueError(f"batch has {total_edges} edges > edges_pad={edges_pad}")
+
+    tok_w = samples[0].node_tokens.shape[1] if samples else 12
+    etok_w = samples[0].edge_tokens.shape[1] if samples else 1
+
+    node_tokens = np.ones((nodes_pad, tok_w), dtype=np.int32)  # pad token id == 1
+    node_graph = np.full((nodes_pad,), num_graphs, dtype=np.int32)
+    node_mask = np.zeros((nodes_pad,), dtype=bool)
+    edge_src = np.full((edges_pad,), nodes_pad - 1, dtype=np.int32)
+    edge_dst = np.full((edges_pad,), nodes_pad - 1, dtype=np.int32)
+    edge_tokens = np.ones((edges_pad, etok_w), dtype=np.int32)
+    edge_mask = np.zeros((edges_pad,), dtype=bool)
+    edge_sym_sign = np.ones((edges_pad,), dtype=np.float32)
+    exec_bitmap = np.zeros((nodes_pad, max_steps), dtype=np.float32)
+
+    node_off = 0
+    srcs, dsts, etoks, esyms = [], [], [], []
+    for gid, s in enumerate(samples):
+        n = s.num_nodes
+        node_tokens[node_off:node_off + n] = s.node_tokens
+        node_graph[node_off:node_off + n] = gid
+        node_mask[node_off:node_off + n] = True
+        if s.exec_bitmap is not None:
+            k = min(max_steps, s.exec_bitmap.shape[1])
+            exec_bitmap[node_off:node_off + n, :k] = s.exec_bitmap[:, :k]
+        srcs.append(s.edge_src.astype(np.int64) + node_off)
+        dsts.append(s.edge_dst.astype(np.int64) + node_off)
+        etoks.append(s.edge_tokens)
+        esyms.append(s.edge_sym)
+        node_off += n
+
+    if total_edges:
+        flat_src = np.concatenate(srcs)
+        flat_dst = np.concatenate(dsts)
+        flat_etok = np.concatenate(etoks, axis=0)
+        flat_sym = np.concatenate(esyms)
+        if sort_by_dst:
+            order = np.argsort(flat_dst, kind="stable")
+            flat_src, flat_dst = flat_src[order], flat_dst[order]
+            flat_etok, flat_sym = flat_etok[order], flat_sym[order]
+        edge_src[:total_edges] = flat_src
+        edge_dst[:total_edges] = flat_dst
+        edge_tokens[:total_edges] = flat_etok
+        edge_mask[:total_edges] = True
+        edge_sym_sign[:total_edges] = np.where(flat_sym, -1.0, 1.0)
+
+    return GraphBatch(
+        node_tokens=node_tokens,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_tokens=edge_tokens,
+        edge_mask=edge_mask,
+        edge_sym_sign=edge_sym_sign,
+        exec_bitmap=exec_bitmap,
+        num_graphs=num_graphs,
+    )
+
+
+# Default bucket ladder: (nodes_pad, edges_pad) per graph-count tier. GQA
+# graphs average ~17 nodes / ~90 edges (incl. self-loops + symmetrized);
+# p99 ~ 60 nodes / ~700 edges. Buckets are multiples of TPU-friendly sizes.
+DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (256, 1024), (512, 2048), (1024, 4096), (2048, 8192),
+    (4096, 16384), (8192, 32768), (16384, 131072), (32768, 262144),
+)
+
+
+def pick_bucket(
+    total_nodes: int, total_edges: int,
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+) -> Tuple[int, int]:
+    """Smallest bucket that fits; keeps the number of distinct jit traces tiny."""
+    for n_pad, e_pad in buckets:
+        if total_nodes <= n_pad and total_edges <= e_pad:
+            return n_pad, e_pad
+    raise ValueError(
+        f"no bucket fits total_nodes={total_nodes} total_edges={total_edges}; "
+        f"largest is {buckets[-1]}")

@@ -1,0 +1,172 @@
+"""Program and full-answer decoders.
+
+Program decoder (reference: TransformerProgramDecoder,
+pipeline_model_gat.py:317-445) is two-stage "hierarchical":
+  1. coarse, non-autoregressive: M=5 learned query embeddings cross-attend to
+     the question memory (no causal mask) -> instruction vectors [M, B, D];
+  2. fine, autoregressive (teacher-forced): the batch is expanded M-fold, the
+     <start> token's embedding is *replaced* by the matching instruction
+     vector, and a causal-masked decoder predicts the program tokens.
+
+Greedy sampling re-runs the decoder at full static length each step (a
+`lax.fori_loop` over a fixed buffer — same O(T^2) math as the reference's
+Python loop at pipeline_model_gat.py:423-443, but a single compiled program
+with static shapes).
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphvqa_tpu.nn.embedding import PaddedEmbed
+from graphvqa_tpu.nn.transformer import (
+    PositionalEncoding, TorchLinear, TransformerDecoder, causal_mask)
+
+
+class ProgramDecoder(nn.Module):
+    text_embed: PaddedEmbed      # shared text embedding
+    vocab_size: int
+    num_queries: int = 5         # M == MAX_EXECUTION_STEP
+    hidden_dim: int = 512
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_layers: int = 3
+    dropout: float = 0.1
+    sos_idx: int = 2
+    max_decode_len: int = 16     # pipeline_model_gat.py:416
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (self.num_queries, self.hidden_dim))
+        self.emb_proj = TorchLinear(self.hidden_dim, dtype=self.dtype,
+                                    name="emb_proj")
+        self.pos_encoder = PositionalEncoding(self.hidden_dim, self.dropout)
+        self.coarse_decoder = TransformerDecoder(
+            self.num_layers, self.hidden_dim, self.num_heads, self.ffn_dim,
+            self.dropout, self.dtype, name="coarse_decoder")
+        self.fine_decoder = TransformerDecoder(
+            self.num_layers, self.hidden_dim, self.num_heads, self.ffn_dim,
+            self.dropout, self.dtype, name="fine_decoder")
+        self.vocab_decoder = TorchLinear(self.vocab_size, dtype=self.dtype,
+                                         name="vocab_decoder")
+
+    def _instruction_vectors(self, memory, deterministic):
+        """Coarse stage -> (instr [M, B, D], expanded memory [B*M, Lq, D])."""
+        B = memory.shape[0]
+        queries = jnp.broadcast_to(
+            self.query_embed[None], (B, self.num_queries, self.hidden_dim))
+        instr = self.coarse_decoder(queries, memory, tgt_mask=None,
+                                    deterministic=deterministic)  # [B, M, D]
+        # expanded ordering = (b0 s0..s4, b1 s0..s4, ...) matching the 5x
+        # flattened program stream (gqa_dataset_entry.py:659-663)
+        instr_flat = instr.reshape(B * self.num_queries, self.hidden_dim)
+        memory_rep = jnp.repeat(memory, self.num_queries, axis=0)
+        instr_mbd = jnp.transpose(instr, (1, 0, 2))  # [M, B, D]
+        return instr_mbd, instr_flat, memory_rep
+
+    def _embed_program(self, tokens, instr_flat, deterministic):
+        """Token embedding with the <start> slot replaced by the instruction
+        vector (pipeline_model_gat.py:389-390)."""
+        x = self.text_embed(tokens)                     # [B*M, L, 300]
+        x = self.emb_proj(x) * math.sqrt(self.hidden_dim)
+        x = self.pos_encoder(x, deterministic=deterministic)
+        return jnp.concatenate([instr_flat[:, None, :], x[:, 1:]], axis=1)
+
+    def __call__(
+        self,
+        memory: jax.Array,     # [B, Lq, D]
+        tgt: jax.Array,        # [B*M, Lp] teacher-forcing input tokens
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
+            memory, deterministic)
+        x = self._embed_program(tgt, instr_flat, deterministic)
+        L = tgt.shape[1]
+        out = self.fine_decoder(x, memory_rep, tgt_mask=causal_mask(L),
+                                deterministic=deterministic)
+        logits = self.vocab_decoder(out)               # [B*M, L, V]
+        return logits, instr_mbd
+
+    def sample(
+        self,
+        memory: jax.Array,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Greedy decode to ``max_decode_len``; returns token buffer
+        [B*M, max_decode_len] (position 0 = <start>) and instruction vectors."""
+        instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
+            memory, deterministic)
+        T = self.max_decode_len
+        BM = instr_flat.shape[0]
+        buf0 = jnp.full((BM, T), self.sos_idx, jnp.int32)
+        mask = causal_mask(T)
+
+        def step(t, buf):
+            x = self._embed_program(buf, instr_flat, deterministic)
+            out = self.fine_decoder(x, memory_rep, tgt_mask=mask,
+                                    deterministic=deterministic)
+            logits = self.vocab_decoder(out)           # [BM, T, V]
+            # position t-1 attends only to tokens < t -> next token
+            nxt = jnp.argmax(logits[:, t - 1, :], axis=-1).astype(jnp.int32)
+            return buf.at[:, t].set(nxt)
+
+        buf = jax.lax.fori_loop(1, T, step, buf0)
+        return buf, instr_mbd
+
+
+class FullAnswerDecoder(nn.Module):
+    """Natural-language full-answer decoder (reference:
+    TransformerFullAnswerDecoder, pipeline_model_gat.py:450-525)."""
+    text_embed: PaddedEmbed
+    vocab_size: int
+    hidden_dim: int = 512
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_layers: int = 3
+    dropout: float = 0.5          # reference default dropout=0.5 (line 452)
+    sos_idx: int = 2
+    max_decode_len: int = 20      # pipeline_model_gat.py:502
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.emb_proj = TorchLinear(self.hidden_dim, dtype=self.dtype,
+                                    name="emb_proj")
+        self.pos_encoder = PositionalEncoding(self.hidden_dim, self.dropout)
+        self.decoder = TransformerDecoder(
+            self.num_layers, self.hidden_dim, self.num_heads, self.ffn_dim,
+            self.dropout, self.dtype, name="decoder")
+        self.vocab_decoder = TorchLinear(self.vocab_size, dtype=self.dtype,
+                                         name="vocab_decoder")
+
+    def _embed(self, tokens, deterministic):
+        x = self.text_embed(tokens)
+        x = self.emb_proj(x) * math.sqrt(self.hidden_dim)
+        return self.pos_encoder(x, deterministic=deterministic)
+
+    def __call__(self, memory, tgt, deterministic: bool = True) -> jax.Array:
+        x = self._embed(tgt, deterministic)
+        out = self.decoder(x, memory, tgt_mask=causal_mask(tgt.shape[1]),
+                           deterministic=deterministic)
+        return self.vocab_decoder(out)
+
+    def sample(self, memory, deterministic: bool = True) -> jax.Array:
+        T = self.max_decode_len
+        B = memory.shape[0]
+        buf0 = jnp.full((B, T), self.sos_idx, jnp.int32)
+        mask = causal_mask(T)
+
+        def step(t, buf):
+            x = self._embed(buf, deterministic)
+            out = self.decoder(x, memory, tgt_mask=mask,
+                               deterministic=deterministic)
+            logits = self.vocab_decoder(out)
+            nxt = jnp.argmax(logits[:, t - 1, :], axis=-1).astype(jnp.int32)
+            return buf.at[:, t].set(nxt)
+
+        return jax.lax.fori_loop(1, T, step, buf0)

@@ -1,0 +1,446 @@
+"""Language-conditioned graph message-passing engines.
+
+One sparse engine — SDDMM (per-edge scores) + segment-softmax + SpMM
+(destination aggregation) over the flat dst-sorted edge layout — instantiated
+four ways, mirroring the reference model family:
+
+  * :class:`GATLayer`/:class:`GATSeq` — the flagship edge-featured multi-head
+    GAT with skip connections (reference: gat_skip.py:16-279)
+  * :class:`GCNSeq` — degree-normalized convolutions (reference:
+    baseline_and_test_models/pipeline_model_gcn.py:622-669, PyG GCNConv K5)
+  * :class:`GINESeq` — GIN-with-edge-features (reference:
+    baseline_and_test_models/pipeline_model_gine.py:622-674, PyG GINEConv K5)
+  * :class:`LCGNSeq` — the LCGN baseline with per-iteration textual commands
+    (reference: baseline_and_test_models/lcgn.py:17-353)
+
+All layers consume a :class:`~graphvqa_tpu.core.graph.GraphBatch` plus dense
+feature arrays and respect node/edge masks, so a single jit trace serves any
+ragged batch in the bucket.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphvqa_tpu.core.graph import GraphBatch
+from graphvqa_tpu.nn.norm import MaskedBatchNorm
+from graphvqa_tpu.nn.transformer import TorchLinear
+from graphvqa_tpu.ops import (
+    gather_nodes,
+    scatter_edges_to_nodes,
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+)
+
+glorot = nn.initializers.xavier_uniform()
+
+
+class GlorotLinear(nn.Module):
+    """Dense layer with PyG's glorot (xavier-uniform) init."""
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", glorot, (x.shape[-1], self.features))
+        y = jnp.dot(x, kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class MLP2(nn.Module):
+    """Lin -> ReLU -> Lin with torch default init (the reference's Seq(Lin,ReLU,Lin))."""
+    hidden: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchLinear(self.hidden, dtype=self.dtype, name="lin1")(x)
+        x = nn.relu(x)
+        return TorchLinear(self.features, dtype=self.dtype, name="lin2")(x)
+
+
+class SceneGraphMetaLayer(nn.Module):
+    """One MetaLayer round of edge-then-node updates for SG encoding.
+
+    Reference: pipeline_model_gat.py:63-101 (EdgeModel/NodeModel via PyG
+    MetaLayer, K2). Edge update sees [src, dst, edge]; node update aggregates
+    transformed incident-edge messages by scatter-mean over destinations.
+    """
+    node_dim: int
+    edge_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, x: jax.Array, edge_attr: jax.Array):
+        src, dst = graph.edge_src, graph.edge_dst
+        x_src = gather_nodes(x, src)
+        x_dst = gather_nodes(x, dst)
+
+        edge_in = jnp.concatenate([x_src, x_dst, edge_attr], axis=-1)
+        edge_out = MLP2(self.edge_dim, self.edge_dim, self.dtype,
+                        name="edge_mlp")(edge_in)
+        edge_out = jnp.where(graph.edge_mask[:, None], edge_out, 0.0)
+
+        node_msg_in = jnp.concatenate([x_src, edge_out], axis=-1)
+        node_msg = MLP2(self.node_dim, self.node_dim, self.dtype,
+                        name="node_mlp_1")(node_msg_in)
+        aggregated = scatter_edges_to_nodes(
+            node_msg, dst, graph.nodes_pad, edge_mask=graph.edge_mask,
+            reduce="mean")
+        node_out = MLP2(self.node_dim, self.node_dim, self.dtype,
+                        name="node_mlp_2")(
+            jnp.concatenate([x, aggregated], axis=-1))
+        node_out = jnp.where(graph.node_mask[:, None], node_out, 0.0)
+        return node_out, edge_out
+
+
+class GATLayer(nn.Module):
+    """Edge-featured multi-head GAT layer (reference: gat_skip.py:16-213).
+
+    Score per edge (src j -> dst i):
+        alpha = leaky_relu(a_l . Wx_j + a_r . Wx_i + a_e . We e_ij)
+    softmax over each destination's incoming edges, then sum-aggregate
+    ``alpha * Wx_j``; heads are averaged (concat=False) and a bias added.
+    ``lin_l`` and ``lin_r`` share weights as in the reference (gat_skip.py:76-77).
+    """
+    out_channels: int
+    heads: int = 4
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,            # [N, in_c]
+        edge_attr: jax.Array,    # [E, ein_c]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        H, C = self.heads, self.out_channels
+        N = graph.nodes_pad
+
+        w = self.param("lin_lr", glorot, (x.shape[-1], H * C))
+        we = self.param("lin_e", glorot, (edge_attr.shape[-1], H * C))
+        att_l = self.param("att_l", glorot, (H, C))
+        att_r = self.param("att_r", glorot, (H, C))
+        att_e = self.param("att_e", glorot, (H, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        xw = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        xw = xw.reshape(N, H, C).astype(self.dtype)
+        alpha_l = (xw * att_l).sum(-1)   # [N, H]
+        alpha_r = (xw * att_r).sum(-1)
+
+        ew = jnp.dot(edge_attr, we, preferred_element_type=jnp.float32)
+        ew = ew.reshape(-1, H, C).astype(self.dtype)
+        alpha_e = (ew * att_e).sum(-1)   # [E, H]
+
+        logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
+                  + jnp.take(alpha_r, graph.edge_dst, axis=0)
+                  + alpha_e)
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        alpha = segment_softmax(logits, graph.edge_dst, N,
+                                mask=graph.edge_mask, indices_are_sorted=True)
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+
+        msgs = jnp.take(xw, graph.edge_src, axis=0) * alpha[..., None]  # [E,H,C]
+        out = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
+                                     edge_mask=graph.edge_mask)
+        out = out.mean(axis=1) + bias    # concat=False: mean over heads
+        return jnp.where(graph.node_mask[:, None], out, 0.0)
+
+
+class GATSeq(nn.Module):
+    """Five instruction-conditioned GAT rounds with skip + BN/ReLU/dropout
+    between rounds (reference: gat_skip.py:220-279)."""
+    out_channels: int
+    num_rounds: int = 5
+    heads: int = 4
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,               # [N, C]
+        edge_attr: jax.Array,       # [E, C]
+        instr_vectors: jax.Array,   # [num_rounds, B, ins_dim]
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        edge_graph = graph.edge_graph()
+        h = x
+        for i in range(self.num_rounds):
+            ins = instr_vectors[i]                          # [B, ins_dim]
+            ins_pad = jnp.concatenate(
+                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
+            ins_per_edge = jnp.take(ins_pad, edge_graph, axis=0)
+            ins_per_node = jnp.take(ins_pad, graph.node_graph, axis=0)
+
+            edge_cat = jnp.concatenate([edge_attr, ins_per_edge], axis=-1)
+            x_cat = jnp.concatenate([h, ins_per_node], axis=-1)
+
+            conv = GATLayer(self.out_channels, self.heads, self.negative_slope,
+                            self.dropout, self.dtype, name=f"conv_{i}")(
+                graph, x_cat, edge_cat, deterministic=deterministic)
+            h = conv + h  # skip connection (gat_skip.py:270)
+
+            if i != self.num_rounds - 1:
+                h = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
+                                    name=f"bn_{i}")(
+                    h, mask=graph.node_mask,
+                    use_running_average=use_running_average)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class GCNSeq(nn.Module):
+    """Five instruction-conditioned GCN rounds (reference:
+    pipeline_model_gcn.py:622-669; PyG GCNConv semantics, K5).
+
+    Per round: x' = W [h ; ins], then symmetric-degree-normalized aggregation
+    over edges *plus one implicit self-loop per node* (GCNConv adds its own
+    self-loop on top of the dataset's ``<self>`` edges — replicated).
+
+    ``fix_discarded_conv`` — the released reference never assigns ``conv_res``
+    back to ``h`` (pipeline_model_gcn.py:660-666), so its convs are dead code.
+    True (default) implements the intended semantics ``h <- conv_res``; False
+    replicates the released behavior bit-for-bit for parity studies.
+    """
+    out_channels: int
+    num_rounds: int = 5
+    dropout: float = 0.0
+    fix_discarded_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,
+        instr_vectors: jax.Array,
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        N = graph.nodes_pad
+        # in-degree over real edges + 1 for the GCNConv-added self-loop
+        ones = graph.edge_mask.astype(jnp.float32)
+        deg = jax.ops.segment_sum(ones, graph.edge_dst, num_segments=N,
+                                  indices_are_sorted=True) + 1.0
+        dinv = jax.lax.rsqrt(deg)
+        edge_norm = (jnp.take(dinv, graph.edge_src, axis=0)
+                     * jnp.take(dinv, graph.edge_dst, axis=0))
+        self_norm = dinv * dinv
+
+        h = x
+        for i in range(self.num_rounds):
+            ins = instr_vectors[i]
+            ins_pad = jnp.concatenate(
+                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
+            x_cat = jnp.concatenate(
+                [h, jnp.take(ins_pad, graph.node_graph, axis=0)], axis=-1)
+
+            xw = GlorotLinear(self.out_channels, dtype=self.dtype,
+                              name=f"conv_{i}_weight")(x_cat)
+            msgs = jnp.take(xw, graph.edge_src, axis=0) * edge_norm[:, None]
+            aggr = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
+                                          edge_mask=graph.edge_mask)
+            conv_res = aggr + xw * self_norm[:, None]
+            conv_res = conv_res + self.param(
+                f"conv_{i}_bias", nn.initializers.zeros, (self.out_channels,))
+            conv_res = jnp.where(graph.node_mask[:, None], conv_res, 0.0)
+
+            if self.fix_discarded_conv:
+                h = conv_res
+            if i != self.num_rounds - 1:
+                h = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
+                                    name=f"bn_{i}")(
+                    h, mask=graph.node_mask,
+                    use_running_average=use_running_average)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class GINESeq(nn.Module):
+    """Five instruction-conditioned GINE rounds (reference:
+    pipeline_model_gine.py:622-674; PyG GINEConv semantics, K5):
+        out_i = MLP((1+eps) x_i + sum_{j in N(i)} ReLU(x_j + e_ij)),  eps = 0.
+    Same ``fix_discarded_conv`` compat flag as :class:`GCNSeq`
+    (pipeline_model_gine.py:665-669 has the identical bug).
+    """
+    out_channels: int
+    num_rounds: int = 5
+    dropout: float = 0.0
+    fix_discarded_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,
+        edge_attr: jax.Array,
+        instr_vectors: jax.Array,
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        N = graph.nodes_pad
+        edge_graph = graph.edge_graph()
+        h = x
+        for i in range(self.num_rounds):
+            ins = instr_vectors[i]
+            ins_pad = jnp.concatenate(
+                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
+            x_cat = jnp.concatenate(
+                [h, jnp.take(ins_pad, graph.node_graph, axis=0)], axis=-1)
+            edge_cat = jnp.concatenate(
+                [edge_attr, jnp.take(ins_pad, edge_graph, axis=0)], axis=-1)
+
+            msgs = nn.relu(jnp.take(x_cat, graph.edge_src, axis=0) + edge_cat)
+            aggr = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
+                                          edge_mask=graph.edge_mask)
+            conv_res = MLP2(self.out_channels, self.out_channels, self.dtype,
+                            name=f"conv_{i}_mlp")(x_cat + aggr)
+            conv_res = jnp.where(graph.node_mask[:, None], conv_res, 0.0)
+
+            if self.fix_discarded_conv:
+                h = conv_res
+            if i != self.num_rounds - 1:
+                h = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
+                                    name=f"bn_{i}")(
+                    h, mask=graph.node_mask,
+                    use_running_average=use_running_average)
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class LCGNCell(nn.Module):
+    """The LCGN message-passing cell (reference: lcgn.py:17-244 ``gat_lcgn``).
+
+    Attention logit per edge = <W_l x_j , proj_cmd_i * W_r x_i> per head;
+    message = (W9 x_j * cal_cmd_j) * alpha. Commands are per-graph vectors
+    broadcast to nodes (the reference's one-hot matmul becomes a take).
+    """
+    out_channels: int
+    heads: int = 1
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x_joint: jax.Array,      # [N, 3*C]
+        cmd: jax.Array,          # [B, cmd_dim]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        H, C = self.heads, self.out_channels
+        N = graph.nodes_pad
+
+        x_l = GlorotLinear(H * C, name="lin_l")(x_joint).reshape(N, H, C)
+        x_r = GlorotLinear(H * C, name="lin_r")(x_joint).reshape(N, H, C)
+        cmd_pad = jnp.concatenate(
+            [cmd, jnp.zeros((1, cmd.shape[-1]), cmd.dtype)], axis=0)
+        proj_cmd = GlorotLinear(H * C, name="proj_cmd")(cmd_pad)
+        cal_cmd = GlorotLinear(H * C, name="cal_cmd")(cmd_pad)
+        proj_cmd = jnp.take(proj_cmd, graph.node_graph, axis=0).reshape(N, H, C)
+        cal_cmd = jnp.take(cal_cmd, graph.node_graph, axis=0).reshape(N, H, C)
+
+        x_mul = proj_cmd * x_r
+        logits = (jnp.take(x_l, graph.edge_src, axis=0)
+                  * jnp.take(x_mul, graph.edge_dst, axis=0)).sum(-1)  # [E, H]
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        alpha = segment_softmax(logits, graph.edge_dst, N,
+                                mask=graph.edge_mask, indices_are_sorted=True)
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+
+        x_val = GlorotLinear(H * C, name="cal_x")(x_joint).reshape(N, H, C)
+        msgs = (jnp.take(x_val, graph.edge_src, axis=0)
+                * jnp.take(cal_cmd, graph.edge_src, axis=0)) * alpha[..., None]
+        out = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
+                                     edge_mask=graph.edge_mask)
+        out = out.mean(axis=1)  # concat=False
+        out = out + self.param("bias", nn.initializers.zeros, (C,))
+        return jnp.where(graph.node_mask[:, None], out, 0.0)
+
+
+class LCGNSeq(nn.Module):
+    """LCGN executor: textual-command extraction + 4 fixed context-update
+    iterations (reference: lcgn.py:251-323 ``lcgn_seq``).
+
+    ``x_ctx`` is initialized from a PRNG normal; the reference literally calls
+    ``torch.randn`` at every forward (lcgn.py:306 — nondeterministic even at
+    eval). Here the noise comes from the flax 'lcgn_ctx' RNG stream so eval is
+    reproducible; pass a fixed key for deterministic behavior.
+    """
+    out_channels: int
+    max_iters: int = 4
+    heads: int = 1
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,                # [N, in_c] encoded nodes
+        q_encoding: jax.Array,       # [B, D] first-token question feature
+        lstm_outputs: jax.Array,     # [B, L, D] full question memory
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ) -> jax.Array:
+        C = self.out_channels
+        x_loc = TorchLinear(C, name="init_sg_emb")(x)
+        x_loc = nn.Dropout(self.dropout)(x_loc, deterministic=deterministic)
+
+        ctx_key = self.make_rng("lcgn_ctx")
+        x_ctx = jax.random.normal(ctx_key, x_loc.shape, x_loc.dtype)
+
+        q_emb = nn.relu(TorchLinear(C, name="q_input1")(q_encoding))  # [B, C]
+        proj_x_loc = TorchLinear(C, name="proj_x_loc")(
+            nn.Dropout(self.dropout)(x_loc, deterministic=deterministic))
+
+        # modules shared across iterations (only q_input2_t is per-iteration,
+        # lcgn.py:263-266) — instantiate once, call in the loop
+        cmd_logits = TorchLinear(1, name="cmd_inter2logits")
+        proj_ctx_lin = TorchLinear(C, name="proj_x_ctx")
+        cell = LCGNCell(C, self.heads, self.negative_slope,
+                        self.dropout, self.dtype, name="cell")
+        output_layer = TorchLinear(C, name="output_layer")
+
+        for t in range(self.max_iters):
+            # textual command for iteration t (lcgn.py:292-300)
+            q_cmd = TorchLinear(C, name=f"q_input2_{t}")(q_emb)        # [B, C]
+            raw_att = cmd_logits(q_cmd[:, None, :] * lstm_outputs).squeeze(-1)
+            att = jax.nn.softmax(raw_att, axis=-1)                     # [B, L]
+            cmd = jnp.einsum("bl,bld->bd", att, lstm_outputs)          # [B, C]
+
+            proj_x_ctx = proj_ctx_lin(
+                nn.Dropout(self.dropout)(x_ctx, deterministic=deterministic))
+            x_joint = jnp.concatenate(
+                [x_loc, x_ctx, proj_x_ctx * proj_x_loc], axis=-1)
+            msg_aggr = cell(graph, x_joint, cmd, deterministic=deterministic)
+            x_ctx = output_layer(
+                jnp.concatenate([x_ctx, msg_aggr], axis=-1))
+
+        out = TorchLinear(C, name="fin_layer")(
+            jnp.concatenate([x_loc, x_ctx], axis=-1))
+        return jnp.where(graph.node_mask[:, None], out, 0.0)

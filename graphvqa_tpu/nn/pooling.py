@@ -1,0 +1,43 @@
+"""Language-conditioned global attention pooling.
+
+Reference: ``MyConditionalGlobalAttention`` (pipeline_model_gat.py:108-185):
+gate = MLP(ques_nn(u)[batch] * node_nn(x)), segment-softmaxed per graph, then
+scatter-add of gate * node_nn(x) into a [B, D] graph readout.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graphvqa_tpu.core.graph import GraphBatch
+from graphvqa_tpu.nn.gnn import MLP2
+from graphvqa_tpu.ops import segment_softmax, segment_sum
+
+
+class ConditionalGlobalAttention(nn.Module):
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        x: jax.Array,        # [N, node_dim]
+        u: jax.Array,        # [B, out_features] global language feature
+    ) -> jax.Array:
+        D = self.out_features
+        B = graph.num_graphs
+
+        x = MLP2(D, D, self.dtype, name="node_nn")(x)
+        uq = MLP2(D, D, self.dtype, name="ques_nn")(u)        # [B, D]
+        uq_pad = jnp.concatenate(
+            [uq, jnp.zeros((1, D), uq.dtype)], axis=0)
+        u_per_node = jnp.take(uq_pad, graph.node_graph, axis=0)
+
+        gate = MLP2(D, 1, self.dtype, name="gate_nn")(u_per_node * x)  # [N, 1]
+        gate = segment_softmax(gate, graph.node_graph, B + 1,
+                               mask=graph.node_mask)
+        out = segment_sum(gate * x, graph.node_graph, B + 1,
+                          mask=graph.node_mask)
+        return out[:B]

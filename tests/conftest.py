@@ -1,0 +1,17 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-device tests (DP sharding, edge-partitioned message passing) run via XLA
+host-platform device emulation, per SURVEY.md §4's plan — no TPU pod needed.
+Env vars must be set before jax initializes, hence module scope here.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
