@@ -1,0 +1,176 @@
+"""GQA dataset + static-shape collate.
+
+Replaces ``GQATorchDataset`` + ``GQATorchDataset_collate_fn``
+(reference: gqa_dataset_entry.py:380-675) without torch/torchtext: items are
+the 11-field preprocessed tuples from ``*_programs.json`` (written by
+data/preprocess.py), and collation produces a fully padded
+:class:`~graphvqa_tpu.core.graph.QABatch` in one of the static buckets.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from graphvqa_tpu.config import BatchConfig
+from graphvqa_tpu.core.graph import QABatch
+from graphvqa_tpu.core.packing import GraphSample, pack_graphs
+from graphvqa_tpu.data.scene_graph import build_execution_bitmap, convert_scene_graph
+from graphvqa_tpu.data.tokenizer import tokenize
+from graphvqa_tpu.data.vocab import Vocab, load_answer_maps
+
+MAX_EXECUTION_STEP = 5  # gqa_dataset_entry.py:387
+
+
+class GQADataset:
+    """One split of preprocessed GQA questions + ground-truth scene graphs.
+
+    Args:
+      programs_path: ``<split>_programs.json`` with 11-field tuples
+                     (written by preprocess; see preprocess.py:558-570 layout)
+      scene_graphs_path: GQA ``*_sceneGraphs.json`` (None for testdev)
+      text_vocab: QA-side vocabulary
+      sg_vocab:   scene-graph-side vocabulary
+    """
+
+    def __init__(
+        self,
+        programs_path,
+        scene_graphs_path,
+        text_vocab: Vocab,
+        sg_vocab: Vocab,
+        max_steps: int = MAX_EXECUTION_STEP,
+    ):
+        self.data = json.loads(pathlib.Path(programs_path).read_text())
+        self.sg_data = (json.loads(pathlib.Path(scene_graphs_path).read_text())
+                        if scene_graphs_path else None)
+        self.text_vocab = text_vocab
+        self.sg_vocab = sg_vocab
+        self.max_steps = max_steps
+        self.ans2label, self.label2ans = load_answer_maps()
+        self._graph_cache: Dict[str, GraphSample] = {}
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    @property
+    def num_answers(self) -> int:
+        return len(self.ans2label)
+
+    def _graph_for(self, image_id: str) -> GraphSample:
+        g = self._graph_cache.get(image_id)
+        if g is None:
+            sg = self.sg_data[image_id] if self.sg_data else {}
+            g = convert_scene_graph(sg, self.sg_vocab)
+            self._graph_cache[image_id] = g
+        return g
+
+    def __getitem__(self, index: int) -> dict:
+        datum = self.data[index]
+        # 11-field tuple layout (gqa_dataset_entry.py:479-491)
+        image_id = str(datum[0])
+        question_text = datum[1]
+        question_id = datum[3]
+        short_answer = datum[4]
+        full_answer_text = datum[5]
+        execution_buffer = datum[8]
+        programs_hierarchical = datum[9]
+        types = datum[10]
+
+        # OOD quick-fix replicated (gqa_dataset_entry.py:500-505)
+        if short_answer == "bottle cap":
+            short_answer = "bottle"
+        label = self.ans2label[short_answer]
+
+        graph = self._graph_for(image_id)
+        bitmap = build_execution_bitmap(
+            graph.num_nodes, execution_buffer, self.max_steps)
+
+        programs = list(programs_hierarchical[: self.max_steps])
+        programs += [[]] * (self.max_steps - len(programs))
+
+        return {
+            "question_id": question_id,
+            "question_tokens": tokenize(question_text),
+            "question_text": question_text,
+            "graph": GraphSample(
+                node_tokens=graph.node_tokens, edge_src=graph.edge_src,
+                edge_dst=graph.edge_dst, edge_tokens=graph.edge_tokens,
+                edge_sym=graph.edge_sym, exec_bitmap=bitmap),
+            "programs": programs,  # list of max_steps token lists
+            "full_answer_tokens": tokenize(full_answer_text),
+            "short_answer_label": label,
+            "short_answer": short_answer,
+            "types": types,
+        }
+
+    def iter_batches(
+        self,
+        batch_cfg: BatchConfig,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+    ) -> Iterator[tuple]:
+        """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        bs = batch_cfg.num_graphs
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs and drop_last:
+                break
+            items = [self[int(i)] for i in idx]
+            # replicate the tail to keep static shape; mask via meta length
+            real = len(items)
+            while len(items) < bs:
+                items.append(items[-1])
+            yield (
+                {"question_ids": [it["question_id"] for it in items],
+                 "questions": [it["question_text"] for it in items],
+                 "answers": [it["short_answer"] for it in items],
+                 "types": [it["types"] for it in items],
+                 "real_count": real},
+                collate_qa(items, batch_cfg, self.text_vocab,
+                           max_steps=self.max_steps),
+            )
+
+
+def collate_qa(
+    items: Sequence[dict],
+    batch_cfg: BatchConfig,
+    text_vocab: Vocab,
+    max_steps: int = MAX_EXECUTION_STEP,
+) -> QABatch:
+    """Static-shape collate (reference: gqa_dataset_entry.py:631-675).
+
+    Programs are flattened to ``B * max_steps`` sequences in (sample-major,
+    step-minor) order, matching the reference's 5x batch expansion
+    (gqa_dataset_entry.py:659-663) and the decoder's repeat_interleave layout.
+    """
+    graphs = pack_graphs(
+        [it["graph"] for it in items],
+        nodes_pad=batch_cfg.nodes_pad,
+        edges_pad=batch_cfg.edges_pad,
+        max_steps=max_steps,
+    )
+    questions = np.stack([
+        text_vocab.encode(it["question_tokens"], batch_cfg.question_len)
+        for it in items])
+    programs = np.stack([
+        text_vocab.encode(instr, batch_cfg.program_len)
+        for it in items for instr in it["programs"]])
+    full_answers = np.stack([
+        text_vocab.encode(it["full_answer_tokens"], batch_cfg.full_answer_len)
+        for it in items])
+    labels = np.asarray([it["short_answer_label"] for it in items], np.int32)
+
+    return QABatch(
+        graphs=graphs,
+        questions=questions,
+        programs=programs,
+        full_answers=full_answers,
+        short_answer_label=labels,
+    )

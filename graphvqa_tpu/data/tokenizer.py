@@ -1,0 +1,48 @@
+"""English tokenizer for questions / programs / full answers.
+
+The reference tokenizes with spacy's ``en_core_web_sm`` through torchtext
+(reference: gqa_dataset_entry.py:390-394). This is a dependency-free
+rule-based tokenizer covering the constructs that actually occur in GQA text:
+punctuation separation, English contractions, and possessives. GQA questions
+are short templated English, so these rules reproduce spacy's segmentation on
+that distribution.
+"""
+from __future__ import annotations
+
+import re
+from typing import List
+
+# contractions spacy splits into two tokens: do|n't, it|'s, you|'re ...
+_CONTRACTION = re.compile(
+    r"(?i)^(.+?)(n't|'s|'re|'ve|'ll|'d|'m)$")
+_PUNCT = ".,!?;:\"()[]{}"
+
+
+def tokenize(text: str) -> List[str]:
+    out: List[str] = []
+    for chunk in text.strip().split():
+        _tokenize_chunk(chunk, out)
+    return out
+
+
+def _tokenize_chunk(chunk: str, out: List[str]) -> None:
+    if not chunk:
+        return
+    # strip leading punctuation
+    lead = []
+    while chunk and (chunk[0] in _PUNCT or chunk[0] == "'" and len(chunk) == 1):
+        lead.append(chunk[0])
+        chunk = chunk[1:]
+    trail = []
+    while chunk and chunk[-1] in _PUNCT:
+        trail.append(chunk[-1])
+        chunk = chunk[:-1]
+    out.extend(lead)
+    if chunk:
+        m = _CONTRACTION.match(chunk)
+        if m and m.group(1):
+            out.append(m.group(1))
+            out.append(m.group(2))
+        else:
+            out.append(chunk)
+    out.extend(reversed(trail))

@@ -1,0 +1,108 @@
+"""Data pipeline: fixtures -> vocab -> dataset -> collate -> model forward."""
+import dataclasses
+import pathlib
+
+import numpy as np
+import jax
+import pytest
+
+from graphvqa_tpu.config import BatchConfig
+from graphvqa_tpu.data import (
+    GQADataset, build_scene_graph_vocab, build_text_vocab, tokenize)
+from graphvqa_tpu.data.vocab import PAD, SOS, EOS, Vocab
+
+ASSETS = pathlib.Path(__file__).resolve().parent.parent / "graphvqa_tpu" / "assets"
+DEBUG = ASSETS / "debug"
+
+
+def test_tokenizer_basic():
+    assert tokenize("What is on the white wall?") == [
+        "What", "is", "on", "the", "white", "wall", "?"]
+    assert tokenize("Yes, the sky is dark.") == [
+        "Yes", ",", "the", "sky", "is", "dark", "."]
+    assert tokenize("What's that?") == ["What", "'s", "that", "?"]
+    assert tokenize("isn't it") == ["is", "n't", "it"]
+
+
+def test_vocab_specials_and_roundtrip():
+    v = Vocab.build([["wall", "wall", "pipe"]])
+    assert v.itos[:4] == ["<unk>", "<pad>", "<start>", "<end>"]
+    assert v.itos[4] == "wall"  # higher frequency first
+    enc = v.encode(["pipe", "wall"], length=6)
+    assert enc[0] == SOS and enc[3] == EOS and enc[4] == PAD
+    assert v.decode(enc) == "pipe wall"
+
+
+def test_scene_graph_vocab_multiword_tokens():
+    v = build_scene_graph_vocab()
+    assert "to the left of" in v.stoi     # whole relation line = one token
+    assert "<self>" in v.stoi
+    assert v.lookup("zzz-not-a-token") == 0
+
+
+def _make_dataset():
+    import json
+    sg_vocab = build_scene_graph_vocab()
+    data = json.loads((DEBUG / "debug_programs.json").read_text())
+    text_vocab = build_text_vocab(data, tokenize)
+    ds = GQADataset(DEBUG / "debug_programs.json",
+                    DEBUG / "debug_sceneGraphs.json",
+                    text_vocab, sg_vocab)
+    return ds, text_vocab, sg_vocab
+
+
+def test_dataset_items_and_bitmap():
+    ds, text_vocab, sg_vocab = _make_dataset()
+    assert len(ds) == 7
+    it = ds[0]  # What is on the white wall?
+    assert it["short_answer"] == "pipe"
+    assert len(it["programs"]) == 5          # padded to MAX_EXECUTION_STEP
+    assert it["programs"][4] == []
+    g = it["graph"]
+    assert g.num_nodes == 21
+    # execution bitmap: step 0 selects the wall; padding steps copy last column
+    bm = g.exec_bitmap
+    assert bm.shape == (21, 5)
+    assert bm[:, 0].sum() == 1.0             # one selected wall
+    np.testing.assert_array_equal(bm[:, 4], bm[:, 3])
+    # symmetrized edges: every (u,v) has (v,u)
+    fwd = set(zip(g.edge_src.tolist(), g.edge_dst.tolist()))
+    assert all((v, u) in fwd for (u, v) in fwd)
+
+
+def test_collate_and_forward():
+    from graphvqa_tpu.models import PipelineModel
+    from tests.helpers import tiny_model_config
+
+    ds, text_vocab, sg_vocab = _make_dataset()
+    bc = BatchConfig(num_graphs=4, nodes_pad=128, edges_pad=1024,
+                     question_len=16, program_len=12, full_answer_len=12)
+    metas = []
+    batches = []
+    for meta, batch in ds.iter_batches(bc, shuffle=False):
+        metas.append(meta)
+        batches.append(batch)
+    assert len(batches) == 2                 # 7 items -> 4 + 3(padded to 4)
+    assert metas[1]["real_count"] == 3
+    b = batches[0]
+    assert b.questions.shape == (4, 16)
+    assert b.programs.shape == (20, 12)      # B * 5 flattened programs
+    assert b.graphs.num_graphs == 4
+
+    cfg = tiny_model_config(
+        "gat",
+        text=dataclasses.replace(tiny_model_config().text,
+                                 vocab_size=len(text_vocab)),
+        scene=dataclasses.replace(tiny_model_config().scene,
+                                  vocab_size=len(sg_vocab)),
+        max_execution_steps=5,
+    )
+    model = PipelineModel(cfg)
+    import jax.numpy as jnp
+    jb = jax.tree.map(jnp.asarray, b)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "lcgn_ctx": jax.random.key(2)}
+    variables = model.init(rngs, jb)
+    out = model.apply(variables, jb, deterministic=True)
+    assert out.short_answer_logits.shape == (4, cfg.num_answers)
+    assert np.all(np.isfinite(np.asarray(out.short_answer_logits)))
