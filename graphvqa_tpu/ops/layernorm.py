@@ -63,7 +63,10 @@ def graph_layer_norm(
     sq = segment_sum(centered * centered, node_graph, num_segments, mask=node_mask)
     var = sq.sum(axis=-1, keepdims=True) / norm
 
-    std = jnp.sqrt(var)
+    # double-where guards sqrt'(0)=inf from poisoning gradients through the
+    # padding segment (inf * 0 = NaN under reverse-mode AD)
+    safe_var = jnp.where(var > 0, var, 1.0)
+    std = jnp.where(var > 0, jnp.sqrt(safe_var), 0.0)
     out = centered / (jnp.take(std, node_graph, axis=0) + eps)
     out = out * jnp.reshape(weight, ()) + jnp.reshape(bias, ())
     if node_mask is not None:

@@ -98,10 +98,13 @@ def segment_softmax(
     Masked lanes return 0.
     """
     seg_max = segment_max(logits, segment_ids, num_segments, mask, indices_are_sorted)
-    # Empty segments hold -inf; gathering back is safe because those lanes are
-    # masked (or never referenced by real edges).
+    # Empty segments hold -inf sentinels; clamp the masked lanes *before* exp
+    # so no inf/NaN ever enters a where() (reverse-mode AD turns inf*0 into
+    # NaN even when the forward value is masked out).
     shifted = logits - jnp.take(seg_max, segment_ids, axis=0)
-    expd = jnp.exp(shifted)
+    if mask is not None:
+        shifted = jnp.where(_mask_up(mask, shifted), shifted, 0.0)
+    expd = jnp.exp(jnp.minimum(shifted, 0.0))
     if mask is not None:
         expd = jnp.where(_mask_up(mask, expd), expd, 0.0)
     denom = jax.ops.segment_sum(

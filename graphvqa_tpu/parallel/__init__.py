@@ -1,0 +1,12 @@
+from graphvqa_tpu.parallel.mesh import make_mesh
+from graphvqa_tpu.parallel.collectives import all_gather_host, psum_scalars
+from graphvqa_tpu.parallel.data_parallel import (
+    make_dp_train_step, stack_shards, shard_batch_sharding)
+from graphvqa_tpu.parallel.edge_partition import (
+    edge_partitioned_gat_attention, make_edge_partitioned_engine)
+
+__all__ = [
+    "make_mesh", "all_gather_host", "psum_scalars",
+    "make_dp_train_step", "stack_shards", "shard_batch_sharding",
+    "edge_partitioned_gat_attention", "make_edge_partitioned_engine",
+]

@@ -1,0 +1,108 @@
+"""Data-parallel training step — the DDP replacement.
+
+The reference wraps the model in ``DistributedDataParallel`` and lets NCCL
+all-reduce gradient buckets during backward (mainExplain_gat.py:259-263).
+Here the global batch is a *stack* of per-shard QABatches (leading axis =
+``data`` mesh axis; each host's input pipeline packs its own shard, replacing
+``DistributedSampler``), the per-shard loss/grad runs under ``shard_map``, and
+a single ``pmean`` over the ``data`` axis is the gradient all-reduce —
+compiled by XLA onto ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.6
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _esm
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_rep=False)
+
+from graphvqa_tpu.config import Config
+from graphvqa_tpu.core.graph import QABatch
+from graphvqa_tpu.models import PipelineModel
+from graphvqa_tpu.train.losses import total_loss
+from graphvqa_tpu.train.metrics import topk_accuracy
+from graphvqa_tpu.train.train_state import TrainState
+
+
+def stack_shards(batches: Sequence[QABatch]) -> QABatch:
+    """Stack per-shard batches along a new leading 'data' axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
+def shard_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that puts the stacked leading axis on the data mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callable:
+    pad = cfg.model.text.pad_idx
+    tc = cfg.train
+
+    def per_shard(params, batch_stats, step, stacked_batch, rng):
+        batch: QABatch = jax.tree.map(lambda x: x[0], stacked_batch)
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        d_rng, ctx_rng = jax.random.split(jax.random.fold_in(shard_rng, step))
+
+        model_in = batch.replace(programs=batch.programs[:, :-1],
+                                 full_answers=batch.full_answers[:, :-1])
+        programs_target = batch.programs[:, 1:]
+        full_answers_target = batch.full_answers[:, 1:]
+
+        def loss_fn(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                model_in, sample=False, deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": d_rng, "lcgn_ctx": ctx_rng},
+                mutable=["batch_stats"],
+            )
+            loss, parts = total_loss(
+                out, programs_target, full_answers_target,
+                batch.short_answer_label, pad,
+                bitmap_true=batch.graphs.exec_bitmap,
+                node_mask=batch.graphs.node_mask,
+                use_program_loss=tc.use_program_loss,
+                use_full_answer_loss=tc.use_full_answer_loss,
+                use_bitmap_loss=tc.use_bitmap_loss,
+            )
+            return loss, (parts, out, mutated)
+
+        grads, (parts, out, mutated) = jax.grad(loss_fn, has_aux=True)(params)
+        # THE gradient all-reduce (DDP bucket all-reduce equivalent)
+        grads = jax.lax.pmean(grads, "data")
+        new_bs = jax.lax.pmean(mutated["batch_stats"], "data")
+
+        sa_c, sa_t = topk_accuracy(out.short_answer_logits,
+                                   batch.short_answer_label)
+        metrics = {k: jax.lax.pmean(v, "data") for k, v in parts.items()}
+        metrics["short_answer_correct"] = jax.lax.psum(sa_c, "data")
+        metrics["short_answer_total"] = jax.lax.psum(sa_t, "data")
+        return grads, new_bs, metrics
+
+    mapped = _shard_map(
+        per_shard, mesh,
+        in_specs=(P(), P(), P(), P("data"), P()),
+        out_specs=(P(), P(), P()),
+    )
+
+    @jax.jit
+    def dp_train_step(state: TrainState, stacked_batch: QABatch,
+                      rng: jax.Array):
+        grads, new_bs, metrics = mapped(
+            state.params, state.batch_stats, state.step, stacked_batch, rng)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, metrics
+
+    return dp_train_step

@@ -1,0 +1,232 @@
+"""Train / validate loops.
+
+TPU re-design of the reference driver (mainExplain_gat.py:387-672,675-942):
+one jit-compiled ``train_step(state, batch, rng)`` per bucket shape does
+forward + loss + backward + Adam update + in-graph metrics; the host loop just
+feeds batches and aggregates scalar meters. Validation runs the greedy-decode
+path (SAMPLE_FLAG equivalent) and can accumulate the official result dump.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import json
+import pathlib
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphvqa_tpu.config import Config
+from graphvqa_tpu.core.graph import QABatch
+from graphvqa_tpu.models import PipelineModel
+from graphvqa_tpu.train.logging_utils import AverageMeter, ProgressMeter
+from graphvqa_tpu.train.losses import total_loss
+from graphvqa_tpu.train.metrics import (
+    program_string_exact_match_acc, topk_accuracy)
+from graphvqa_tpu.train.train_state import TrainState
+
+
+def _teacher_inputs(batch: QABatch) -> QABatch:
+    """programs[:-1] / full_answers[:-1] teacher forcing slice
+    (mainExplain_gat.py:437-440) — batch-first."""
+    return batch.replace(
+        programs=batch.programs[:, :-1],
+        full_answers=batch.full_answers[:, :-1],
+    )
+
+
+def make_train_step(model: PipelineModel, cfg: Config) -> Callable:
+    pad = cfg.model.text.pad_idx
+    tc = cfg.train
+
+    @jax.jit
+    def train_step(state: TrainState, batch: QABatch, rng: jax.Array):
+        d_rng, ctx_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        model_in = _teacher_inputs(batch)
+        programs_target = batch.programs[:, 1:]
+        full_answers_target = batch.full_answers[:, 1:]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                model_in, sample=False, deterministic=False,
+                use_running_average=False,
+                rngs={"dropout": d_rng, "lcgn_ctx": ctx_rng},
+                mutable=["batch_stats"],
+            )
+            loss, parts = total_loss(
+                out, programs_target, full_answers_target,
+                batch.short_answer_label, pad,
+                bitmap_true=batch.graphs.exec_bitmap,
+                node_mask=batch.graphs.node_mask,
+                use_program_loss=tc.use_program_loss,
+                use_full_answer_loss=tc.use_full_answer_loss,
+                use_bitmap_loss=tc.use_bitmap_loss,
+            )
+            return loss, (parts, out, mutated)
+
+        grads, (parts, out, mutated) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=mutated["batch_stats"])
+
+        sa_correct, sa_total = topk_accuracy(
+            out.short_answer_logits, batch.short_answer_label)
+        prog_pred = jnp.argmax(out.program_logits, axis=-1)
+        (p_c, p_t), (g_c, g_t), (ne_c, ne_t) = program_string_exact_match_acc(
+            prog_pred, programs_target, pad, cfg.model.max_execution_steps)
+
+        metrics = dict(parts)
+        metrics.update(
+            short_answer_correct=sa_correct, short_answer_total=sa_total,
+            program_correct=p_c, program_total=p_t,
+            program_group_correct=g_c, program_group_total=g_t,
+            program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
+            lr=state.current_lr(),
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: PipelineModel, cfg: Config) -> Callable:
+    pad = cfg.model.text.pad_idx
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: QABatch, rng: jax.Array):
+        """Greedy-decode validation (SAMPLE_FLAG path,
+        mainExplain_gat.py:758-765)."""
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            _teacher_inputs(batch), sample=True, deterministic=True,
+            use_running_average=True,
+            rngs={"lcgn_ctx": rng},
+        )
+        sa_correct, sa_total = topk_accuracy(
+            out.short_answer_logits, batch.short_answer_label)
+        # sampled buffer vs *full* target incl. <start>
+        # (mainExplain_gat.py:746,788-791)
+        (p_c, p_t), (g_c, g_t), (ne_c, ne_t) = program_string_exact_match_acc(
+            out.program_tokens, batch.programs, pad,
+            cfg.model.max_execution_steps)
+        sa_pred = jnp.argmax(out.short_answer_logits, axis=-1)
+        sa_score = jnp.max(out.short_answer_logits, axis=-1)
+        metrics = dict(
+            short_answer_correct=sa_correct, short_answer_total=sa_total,
+            program_correct=p_c, program_total=p_t,
+            program_group_correct=g_c, program_group_total=g_t,
+            program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
+        )
+        return metrics, sa_pred, sa_score, out.program_tokens
+
+    return eval_step
+
+
+def train_one_epoch(
+    train_step: Callable,
+    state: TrainState,
+    batches,
+    rng: jax.Array,
+    epoch: int,
+    print_freq: int = 100,
+    num_batches: Optional[int] = None,
+) -> TrainState:
+    losses = AverageMeter("Loss", ":.4e")
+    sa = AverageMeter("Acc@Short", ":6.2f")
+    pa = AverageMeter("Acc@Program", ":6.2f")
+    pg = AverageMeter("Acc@ProgramGroup", ":4.2f")
+    pne = AverageMeter("Acc@ProgramNonEmpty", ":4.2f")
+    progress = ProgressMeter(num_batches or 0, [losses, sa, pa, pg, pne],
+                             prefix=f"Epoch: [{epoch}]")
+
+    i = -1
+    for i, (_, batch) in enumerate(batches):
+        state, m = train_step(state, batch, rng)
+        bsz = int(m["short_answer_total"])
+        losses.update(float(m["total"]), bsz)
+        sa.update(100.0 * float(m["short_answer_correct"]) / max(bsz, 1), bsz)
+        pt = int(m["program_total"])
+        pa.update(100.0 * float(m["program_correct"]) / max(pt, 1), pt)
+        gt = int(m["program_group_total"])
+        pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1), gt)
+        nt = int(m["program_nonempty_total"])
+        pne.update(100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
+        if i % print_freq == 0:
+            progress.display(i)
+    progress.display(i + 1)
+    return state
+
+
+def validate(
+    eval_step: Callable,
+    state: TrainState,
+    batches,
+    rng: jax.Array,
+    cfg: Config,
+    text_vocab=None,
+    label2ans=None,
+    dump_path: Optional[str] = None,
+    print_freq: int = 100,
+) -> Dict[str, float]:
+    sa = AverageMeter("Acc@Short", ":6.2f")
+    pa = AverageMeter("Acc@Program", ":6.2f")
+    pg = AverageMeter("Acc@ProgramGroup", ":4.2f")
+    pne = AverageMeter("Acc@ProgramNonEmpty", ":4.2f")
+    progress = ProgressMeter(0, [sa, pa, pg, pne], prefix="Test: ")
+    quesid2ans = {}
+    M = cfg.model.max_execution_steps
+
+    i = -1
+    for i, (meta, batch) in enumerate(batches):
+        m, sa_pred, sa_score, prog_tokens = eval_step(state, batch, rng)
+        real = meta.get("real_count", batch.questions.shape[0])
+        # meters count only real (non-replicated) rows; in-graph counts cover
+        # the padded tail too, so recompute host-side on the real prefix
+        sa_pred_np = jax.device_get(sa_pred)[:real]
+        sa_score_np = jax.device_get(sa_score)[:real]
+        prog_np = jax.device_get(prog_tokens)
+        labels = jax.device_get(batch.short_answer_label)[:real]
+        sa.update(100.0 * float((sa_pred_np == labels).sum()) / max(real, 1), real)
+        pt = int(m["program_total"])
+        pa.update(100.0 * float(m["program_correct"]) / max(pt, 1), pt)
+        gt = int(m["program_group_total"])
+        pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1), gt)
+        nt = int(m["program_nonempty_total"])
+        pne.update(100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
+
+        if dump_path is not None and text_vocab is not None:
+            programs_np = jax.device_get(batch.programs)
+            for b in range(real):
+                qid = meta["question_ids"][b]
+                gt_progs, pred_progs = [], []
+                for s in range(M):
+                    row = s + M * b
+                    gt_sent = text_vocab.decode(programs_np[row])
+                    pred_sent = text_vocab.decode(prog_np[row])
+                    if not gt_sent and not pred_sent:
+                        continue
+                    gt_progs.append(gt_sent)
+                    pred_progs.append(pred_sent)
+                quesid2ans[str(qid)] = {
+                    "questionId": str(qid),
+                    "question": meta["questions"][b],
+                    "ground_truth_program_list": gt_progs,
+                    "predicted_program_list": pred_progs,
+                    "answer": meta["answers"][b],
+                    "prediction": label2ans[int(sa_pred_np[b])],
+                    "prediction_score": "{:.2f}".format(float(sa_score_np[b])),
+                    "types": meta["types"][b],
+                }
+        if i % print_freq == 0:
+            progress.display(i)
+    progress.display(i + 1)
+
+    if dump_path is not None:
+        path = pathlib.Path(dump_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(quesid2ans, indent=4, sort_keys=True))
+        print("Result Dumped!", str(path))
+
+    return {"short_answer_acc": sa.avg, "program_acc": pa.avg,
+            "program_group_acc": pg.avg, "program_nonempty_acc": pne.avg}

@@ -1,0 +1,68 @@
+"""In-graph metric kernels (batch-first layout).
+
+TPU-resident equivalents of the reference's GPU metric helpers:
+  * ``topk_accuracy`` — mainExplain_gat.py:996-1010
+  * ``string_exact_match_acc`` — mainExplain_gat.py:576-605
+  * ``program_string_exact_match_acc`` (+ 5-way group and non-empty rates) —
+    mainExplain_gat.py:619-672
+
+Each returns (correct_count, denominator) pairs rather than percentages so
+callers can all-reduce across data shards before dividing.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_accuracy(logits: jax.Array, labels: jax.Array, k: int = 1
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """[B, C] logits vs [B] labels -> (num_correct, batch)."""
+    _, topi = jax.lax.top_k(logits, k)
+    correct = jnp.any(topi == labels[:, None], axis=-1)
+    return correct.sum(), jnp.asarray(labels.shape[0])
+
+
+def _sequence_match(predictions: jax.Array, target: jax.Array,
+                    padding_idx: int) -> jax.Array:
+    """[B, L] exact match per row: token equal OR target is pad."""
+    L = target.shape[1]
+    preds = predictions[:, :L]
+    ok = (preds == target) | (target == padding_idx)
+    return jnp.all(ok, axis=1)
+
+
+def string_exact_match_acc(predictions: jax.Array, target: jax.Array,
+                           padding_idx: int = 1
+                           ) -> Tuple[jax.Array, jax.Array]:
+    match = _sequence_match(predictions, target, padding_idx)
+    return match.sum(), jnp.asarray(target.shape[0])
+
+
+def program_string_exact_match_acc(
+    predictions: jax.Array,    # [B*M, L]
+    target: jax.Array,         # [B*M, L]
+    padding_idx: int = 1,
+    group_size: int = 5,
+):
+    """Returns ((instr_correct, instr_total), (group_correct, group_total),
+    (non_empty_correct, non_empty_total)).
+
+    Empty-instruction detection follows the reference: an instruction whose
+    target position 2 is already padding (only <start> <end> remain after the
+    shift) counts as empty (mainExplain_gat.py:655-663).
+    """
+    match = _sequence_match(predictions, target, padding_idx)
+    total = target.shape[0]
+
+    group_match = jnp.all(match.reshape(-1, group_size), axis=1)
+
+    empty = (target[:, 2] == padding_idx) & match
+    non_empty_correct = match.sum() - empty.sum()
+    non_empty_total = total - empty.sum()
+
+    return ((match.sum(), jnp.asarray(total)),
+            (group_match.sum(), jnp.asarray(total // group_size)),
+            (non_empty_correct, non_empty_total))
