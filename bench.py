@@ -1,0 +1,124 @@
+"""Benchmark harness: edges/s through the language-conditioned GAT engine.
+
+Headline metric: per-round edge traversals per second through the flagship
+5-round GAT message-passing engine (SDDMM + segment softmax + SpMM per round)
+on a GQA-shaped synthetic batch — the hottest loop of the reference
+(gat_skip.py:254-276, SURVEY.md §3.1) and the metric BASELINE.json names.
+The reference publishes no throughput numbers, so ``vs_baseline`` compares the
+dst-sorted packed engine against a naive unsorted-scatter formulation of the
+same math measured in the same run (the torch_scatter-style layout a direct
+port would use).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra detail lines go to stderr.
+"""
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
+               sort_by_dst=True):
+    from graphvqa_tpu.core.packing import GraphSample, pack_graphs, pick_bucket
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(num_graphs):
+        n = max(2, int(rng.normal(avg_nodes, 6)))
+        e = n + max(n, int(rng.normal(avg_edges, 25)))  # incl self-loops
+        samples.append(GraphSample(
+            node_tokens=rng.integers(2, 2000, size=(n, 12)).astype(np.int32),
+            edge_src=rng.integers(0, n, size=e).astype(np.int32),
+            edge_dst=rng.integers(0, n, size=e).astype(np.int32),
+            edge_tokens=rng.integers(2, 2000, size=(e, 1)).astype(np.int32),
+            edge_sym=rng.random(e) > 0.7,
+        ))
+    total_nodes = sum(s.num_nodes for s in samples)
+    total_edges = sum(s.num_edges for s in samples)
+    n_pad, e_pad = pick_bucket(total_nodes, total_edges)
+    gb = pack_graphs(samples, n_pad, e_pad, sort_by_dst=sort_by_dst)
+    return gb, total_edges
+
+
+def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
+                     ins_dim=512, iters=(8, 40), label="sorted"):
+    """Time the engine with chained iterations inside one compiled loop.
+
+    The axon relay elides repeated identical executions and resolves
+    block_until_ready lazily, so the only reliable clock is: chain the engine
+    output back into its input inside a jitted fori_loop, fetch a scalar of
+    the result, and difference two loop counts to cancel the fixed tunnel
+    overhead.
+    """
+    import jax
+    import jax.numpy as jnp
+    from graphvqa_tpu.nn.gnn import GATSeq
+
+    graph = jax.tree.map(jnp.asarray, graph)
+    engine = GATSeq(out_channels=channels, num_rounds=rounds, heads=heads,
+                    dropout=0.0)
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (graph.nodes_pad, channels), jnp.float32)
+    e = jax.random.normal(key, (graph.edges_pad, channels), jnp.float32)
+    ins = jax.random.normal(key, (rounds, graph.num_graphs, ins_dim),
+                            jnp.float32)
+    variables = engine.init({"params": key}, graph, x, e, ins)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(v, x0, e, ins, n):
+        def body(i, x):
+            h = engine.apply(v, graph, x, e, ins, deterministic=True,
+                             use_running_average=True)
+            # renormalize so the chain stays finite
+            return h * jax.lax.rsqrt(jnp.mean(h * h) + 1e-6)
+        return jax.lax.fori_loop(0, n, body, x0)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = chain(variables, x, e, ins, n)
+        _ = np.asarray(out[:1, :1])  # force real execution through the relay
+        return time.perf_counter() - t0
+
+    n_lo, n_hi = iters
+    run(n_lo)  # compile+warm both loop counts
+    run(n_hi)
+    t_lo = min(run(n_lo) for _ in range(2))
+    t_hi = min(run(n_hi) for _ in range(2))
+    per_iter = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    eps = rounds * real_edges / per_iter
+    _log(f"[{label}] nodes_pad={graph.nodes_pad} edges_pad={graph.edges_pad} "
+         f"real_edges={real_edges} rounds={rounds} "
+         f"time/iter={per_iter*1e3:.2f}ms edges/s={eps:.3e}")
+    return eps
+
+
+def main():
+    import jax
+    _log("devices:", jax.devices())
+
+    graph_sorted, real_edges = make_batch(sort_by_dst=True)
+    eps_sorted = bench_gat_engine(graph_sorted, real_edges, label="dst-sorted")
+
+    # naive baseline: identical math, unsorted edge list (what a direct
+    # torch_scatter port would feed XLA)
+    graph_unsorted, _ = make_batch(sort_by_dst=False)
+    eps_unsorted = bench_gat_engine(graph_unsorted, real_edges,
+                                    label="unsorted-baseline")
+
+    print(json.dumps({
+        "metric": "gat_engine_edge_traversals_per_s",
+        "value": round(eps_sorted, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps_sorted / eps_unsorted, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

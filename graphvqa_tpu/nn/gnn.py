@@ -112,6 +112,17 @@ class GATLayer(nn.Module):
     softmax over each destination's incoming edges, then sum-aggregate
     ``alpha * Wx_j``; heads are averaged (concat=False) and a bias added.
     ``lin_l`` and ``lin_r`` share weights as in the reference (gat_skip.py:76-77).
+
+    TPU FLOP optimizations (exact algebra, identical outputs up to fp
+    reassociation; parameter shapes match the naive formulation so
+    checkpoints interchange):
+      * the full edge projection ``We e_ij`` is consumed only through
+        ``(. * att_e).sum(-1)``, so it collapses to a precontracted
+        ``[ein_c, H]`` matrix — O(E*ein*H) instead of O(E*ein*H*C);
+      * when ``ins`` (the per-graph instruction vector, reference
+        gat_skip.py:256-264) is passed separately instead of pre-concatenated,
+        its share of both projections is computed on the [B, ins_dim] matrix
+        and gathered per node/edge — O(B*ins*H*C) instead of O(E*ins*H*C).
     """
     out_channels: int
     heads: int = 4
@@ -123,28 +134,49 @@ class GATLayer(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        x: jax.Array,            # [N, in_c]
-        edge_attr: jax.Array,    # [E, ein_c]
+        x: jax.Array,                       # [N, x_c]
+        edge_attr: jax.Array,               # [E, e_c]
+        ins: Optional[jax.Array] = None,    # [B, ins_dim] per-graph vectors
         deterministic: bool = True,
     ) -> jax.Array:
         H, C = self.heads, self.out_channels
         N = graph.nodes_pad
+        ins_dim = 0 if ins is None else ins.shape[-1]
 
-        w = self.param("lin_lr", glorot, (x.shape[-1], H * C))
-        we = self.param("lin_e", glorot, (edge_attr.shape[-1], H * C))
+        # parameter shapes as if inputs were concatenated with ins
+        w = self.param("lin_lr", glorot, (x.shape[-1] + ins_dim, H * C))
+        we = self.param("lin_e", glorot, (edge_attr.shape[-1] + ins_dim, H * C))
         att_l = self.param("att_l", glorot, (H, C))
         att_r = self.param("att_r", glorot, (H, C))
         att_e = self.param("att_e", glorot, (H, C))
         bias = self.param("bias", nn.initializers.zeros, (C,))
 
-        xw = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        xw = xw.reshape(N, H, C).astype(self.dtype)
+        dt = self.dtype
+        xw = jnp.dot(x.astype(dt), w[: x.shape[-1]].astype(dt),
+                     preferred_element_type=jnp.float32)
+        if ins is not None:
+            ins_w = jnp.dot(ins.astype(dt), w[x.shape[-1]:].astype(dt),
+                            preferred_element_type=jnp.float32)   # [B, H*C]
+            ins_w = jnp.concatenate(
+                [ins_w, jnp.zeros((1, H * C), ins_w.dtype)], axis=0)
+            xw = xw + jnp.take(ins_w, graph.node_graph, axis=0)
+        xw = xw.reshape(N, H, C).astype(dt)
         alpha_l = (xw * att_l).sum(-1)   # [N, H]
         alpha_r = (xw * att_r).sum(-1)
 
-        ew = jnp.dot(edge_attr, we, preferred_element_type=jnp.float32)
-        ew = ew.reshape(-1, H, C).astype(self.dtype)
-        alpha_e = (ew * att_e).sum(-1)   # [E, H]
+        # collapsed edge-attention projection: [e_c(+ins), H]
+        we_att = (we.reshape(-1, H, C) * att_e[None]).sum(-1)     # [e_c+ins, H]
+        alpha_e = jnp.dot(edge_attr.astype(dt),
+                          we_att[: edge_attr.shape[-1]].astype(dt),
+                          preferred_element_type=jnp.float32)      # [E, H]
+        if ins is not None:
+            ins_e = jnp.dot(ins.astype(dt),
+                            we_att[edge_attr.shape[-1]:].astype(dt),
+                            preferred_element_type=jnp.float32)    # [B, H]
+            ins_e = jnp.concatenate(
+                [ins_e, jnp.zeros((1, H), ins_e.dtype)], axis=0)
+            alpha_e = alpha_e + jnp.take(ins_e, graph.edge_graph(), axis=0)
+        alpha_e = alpha_e.astype(dt)
 
         logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
                   + jnp.take(alpha_r, graph.edge_dst, axis=0)
@@ -181,21 +213,12 @@ class GATSeq(nn.Module):
         deterministic: bool = True,
         use_running_average: bool = False,
     ) -> jax.Array:
-        edge_graph = graph.edge_graph()
         h = x
         for i in range(self.num_rounds):
             ins = instr_vectors[i]                          # [B, ins_dim]
-            ins_pad = jnp.concatenate(
-                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
-            ins_per_edge = jnp.take(ins_pad, edge_graph, axis=0)
-            ins_per_node = jnp.take(ins_pad, graph.node_graph, axis=0)
-
-            edge_cat = jnp.concatenate([edge_attr, ins_per_edge], axis=-1)
-            x_cat = jnp.concatenate([h, ins_per_node], axis=-1)
-
             conv = GATLayer(self.out_channels, self.heads, self.negative_slope,
                             self.dropout, self.dtype, name=f"conv_{i}")(
-                graph, x_cat, edge_cat, deterministic=deterministic)
+                graph, h, edge_attr, ins=ins, deterministic=deterministic)
             h = conv + h  # skip connection (gat_skip.py:270)
 
             if i != self.num_rounds - 1:
