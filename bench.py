@@ -25,8 +25,9 @@ def _log(*a):
 
 
 def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
-               sort_by_dst=True):
-    from graphvqa_tpu.core.packing import GraphSample, pack_graphs, pick_bucket
+               sort_by_dst=True, blocked=False):
+    from graphvqa_tpu.core.packing import (
+        GraphSample, build_blocked_edges, pack_graphs, pick_bucket)
 
     rng = np.random.default_rng(seed)
     samples = []
@@ -44,6 +45,8 @@ def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
     total_edges = sum(s.num_edges for s in samples)
     n_pad, e_pad = pick_bucket(total_nodes, total_edges)
     gb = pack_graphs(samples, n_pad, e_pad, sort_by_dst=sort_by_dst)
+    if blocked:
+        gb = build_blocked_edges(gb, block_nodes=16, slots_per_node=16)
     return gb, total_edges
 
 
@@ -69,7 +72,8 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
     e = jax.random.normal(key, (graph.edges_pad, channels), jnp.float32)
     ins = jax.random.normal(key, (rounds, graph.num_graphs, ins_dim),
                             jnp.float32)
-    variables = engine.init({"params": key}, graph, x, e, ins)
+    variables = jax.jit(engine.init)({"params": key}, graph, x, e, ins)
+    _log(f"[{label}] init done")
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def chain(v, x0, e, ins, n):
@@ -103,20 +107,23 @@ def main():
     import jax
     _log("devices:", jax.devices())
 
-    graph_sorted, real_edges = make_batch(sort_by_dst=True)
-    eps_sorted = bench_gat_engine(graph_sorted, real_edges, label="dst-sorted")
+    graph_blocked, real_edges = make_batch(sort_by_dst=True, blocked=True)
+    eps_blocked = bench_gat_engine(graph_blocked, real_edges, label="blocked")
 
-    # naive baseline: identical math, unsorted edge list (what a direct
+    graph_sorted, _ = make_batch(sort_by_dst=True)
+    bench_gat_engine(graph_sorted, real_edges, label="flat-sorted")
+
+    # naive baseline: identical math, unsorted flat edge list (what a direct
     # torch_scatter port would feed XLA)
     graph_unsorted, _ = make_batch(sort_by_dst=False)
     eps_unsorted = bench_gat_engine(graph_unsorted, real_edges,
-                                    label="unsorted-baseline")
+                                    label="flat-unsorted-baseline")
 
     print(json.dumps({
         "metric": "gat_engine_edge_traversals_per_s",
-        "value": round(eps_sorted, 1),
+        "value": round(eps_blocked, 1),
         "unit": "edges/s",
-        "vs_baseline": round(eps_sorted / eps_unsorted, 3),
+        "vs_baseline": round(eps_blocked / eps_unsorted, 3),
     }), flush=True)
 
 

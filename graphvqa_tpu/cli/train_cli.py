@@ -1,0 +1,196 @@
+"""Training / evaluation driver CLI.
+
+Mirror of the reference's four near-identical ``mainExplain_*.py`` drivers
+(mainExplain_gat.py:59-122,146-384) collapsed into one entry point with a
+``--model {gat,gcn,gine,lcgn,onlysg}`` switch.
+
+    python -m graphvqa_tpu.cli.train_cli --model gat \
+        --data-root /path/to/GraphVQA --split train_balanced \
+        --epochs 200 --batch-size 200 --lr 1e-4 --lr-drop 90
+
+    python -m graphvqa_tpu.cli.train_cli --model gat --evaluate \
+        --resume outputdir/ckpt --split val_balanced --dump-result
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import pathlib
+import random
+import sys
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("GraphVQA-TPU training and evaluation",
+                                add_help=False)
+    p.add_argument("--model", default="gat",
+                   choices=["gat", "gcn", "gine", "lcgn", "onlysg"])
+    p.add_argument("--data-root", type=str, required=True,
+                   help="directory with questions/*_programs.json and "
+                        "sceneGraphs/*_sceneGraphs.json")
+    p.add_argument("--split", default="train_balanced")
+    p.add_argument("--val-split", default="val_balanced")
+    p.add_argument("--epochs", default=200, type=int)
+    p.add_argument("--start-epoch", default=0, type=int)
+    p.add_argument("--batch-size", default=200, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr-drop", default=90, type=int)
+    p.add_argument("--wd", "--weight-decay", default=0.0, type=float,
+                   dest="weight_decay")
+    p.add_argument("--print-freq", default=100, type=int)
+    p.add_argument("--resume", default="", help="checkpoint dir to resume from")
+    p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--dump-result", action="store_true")
+    p.add_argument("--seed", default=1234, type=int)
+    p.add_argument("--output_dir", "--output-dir", default="./outputdir",
+                   dest="output_dir")
+    p.add_argument("--nodes-pad", default=8192, type=int)
+    p.add_argument("--edges-pad", default=65536, type=int)
+    p.add_argument("--question-len", default=32, type=int)
+    p.add_argument("--program-len", default=16, type=int)
+    p.add_argument("--full-answer-len", default=20, type=int)
+    p.add_argument("--data-parallel", default=1, type=int,
+                   help="number of data shards (devices) for DP training")
+    p.add_argument("--use-execution-engine", action="store_true")
+    p.add_argument("--blocked-layout", action="store_true", default=True)
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from graphvqa_tpu.config import (BatchConfig, CONFIG_FACTORY, Config,
+                                     TrainConfig)
+    from graphvqa_tpu.data import (GQADataset, build_scene_graph_vocab,
+                                   build_text_vocab, tokenize)
+    from graphvqa_tpu.data.vocab import Vocab, load_answer_maps
+    from graphvqa_tpu.models import PipelineModel
+    from graphvqa_tpu.parallel.mesh import maybe_init_distributed
+    from graphvqa_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from graphvqa_tpu.train.loop import (make_eval_step, make_train_step,
+                                         train_one_epoch, validate)
+    from graphvqa_tpu.train.train_state import create_train_state
+
+    maybe_init_distributed()
+
+    # seeding (mainExplain_gat.py:152-166)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    out_dir = pathlib.Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if jax.process_index() == 0:
+        logging.basicConfig(
+            filename=out_dir / f"log-{args.model}.txt", level=logging.INFO)
+
+    root = pathlib.Path(args.data_root)
+
+    def programs_path(split):
+        return root / "questions" / f"{split}_programs.json"
+
+    def scenes_path(split):
+        name = "train" if "train" in split else "val"
+        p = root / "sceneGraphs" / f"{name}_sceneGraphs.json"
+        return p if p.exists() else None
+
+    sg_vocab = build_scene_graph_vocab()
+    vocab_path = out_dir / "text_vocab.json"
+    if vocab_path.exists():
+        text_vocab = Vocab.load(vocab_path)
+    else:
+        train_data = json.loads(programs_path(args.split).read_text())
+        text_vocab = build_text_vocab(train_data, tokenize)
+        if jax.process_index() == 0:
+            text_vocab.save(vocab_path)
+    print(f"text vocab: {len(text_vocab)} | sg vocab: {len(sg_vocab)}")
+
+    cfg = CONFIG_FACTORY[args.model]()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            text=dataclasses.replace(cfg.model.text,
+                                     vocab_size=len(text_vocab)),
+            scene=dataclasses.replace(cfg.model.scene,
+                                      vocab_size=len(sg_vocab)),
+            use_execution_engine=args.use_execution_engine,
+        ),
+        batch=BatchConfig(
+            num_graphs=args.batch_size, nodes_pad=args.nodes_pad,
+            edges_pad=args.edges_pad, question_len=args.question_len,
+            program_len=args.program_len,
+            full_answer_len=args.full_answer_len),
+        train=dataclasses.replace(
+            cfg.train, lr=args.lr, lr_drop=args.lr_drop,
+            epochs=args.epochs, batch_size=args.batch_size,
+            weight_decay=args.weight_decay, seed=args.seed,
+            print_freq=args.print_freq, output_dir=str(out_dir)),
+    )
+
+    model = PipelineModel(cfg.model)
+    _, label2ans = load_answer_maps()
+
+    val_ds = GQADataset(programs_path(args.val_split),
+                        scenes_path(args.val_split), text_vocab, sg_vocab)
+
+    # init from one batch
+    meta0, batch0 = next(val_ds.iter_batches(cfg.batch))
+    batch0 = jax.tree.map(jnp.asarray, batch0)
+    rngs = {"params": jax.random.key(args.seed),
+            "dropout": jax.random.key(args.seed + 1),
+            "lcgn_ctx": jax.random.key(args.seed + 2)}
+    variables = model.init(rngs, batch0.replace(
+        programs=batch0.programs[:, :-1],
+        full_answers=batch0.full_answers[:, :-1]))
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"number of params: {n_params}")
+
+    state = create_train_state(variables, lr=args.lr, lr_drop=args.lr_drop,
+                               weight_decay=args.weight_decay)
+    start_epoch = args.start_epoch
+    if args.resume:
+        state, start_epoch = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    eval_step = make_eval_step(model, cfg)
+    rng = jax.random.key(args.seed + 3)
+
+    if args.evaluate:
+        res = validate(
+            eval_step, state, val_ds.iter_batches(cfg.batch), rng, cfg,
+            text_vocab=text_vocab, label2ans=label2ans,
+            dump_path=str(out_dir / "dump_results.json")
+            if args.dump_result else None,
+            print_freq=args.print_freq)
+        print(res)
+        return
+
+    train_ds = GQADataset(programs_path(args.split), scenes_path(args.split),
+                          text_vocab, sg_vocab)
+    train_step = make_train_step(model, cfg)
+    for epoch in range(start_epoch, args.epochs):
+        state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        batches = (
+            (m, jax.tree.map(jnp.asarray, b))
+            for m, b in train_ds.iter_batches(
+                cfg.batch, shuffle=True, seed=args.seed + epoch,
+                drop_last=True))
+        state = train_one_epoch(train_step, state, batches, rng, epoch,
+                                print_freq=args.print_freq,
+                                num_batches=len(train_ds) // args.batch_size)
+        if (epoch + 1) % 5 == 0:
+            validate(eval_step, state, val_ds.iter_batches(cfg.batch), rng,
+                     cfg, print_freq=args.print_freq)
+        if jax.process_index() == 0:
+            save_checkpoint(out_dir / "ckpt", state)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "GraphVQA-TPU", parents=[get_args_parser()])
+    main(parser.parse_args())

@@ -100,6 +100,10 @@ class BatchConfig:
     question_len: int = 32
     program_len: int = 16
     full_answer_len: int = 20
+    # blocked (ELL+spill) aggregation layout (core/packing.py:build_blocked_edges)
+    use_blocked_layout: bool = True
+    block_nodes: int = 16
+    slots_per_node: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,6 +58,29 @@ class GraphBatch:
     exec_bitmap: jax.Array
     num_graphs: int = struct.field(pytree_node=False)
 
+    # Optional blocked (ELL + spill) edge layout for the MXU aggregation path
+    # (core/packing.py:build_blocked_edges). Destination nodes are grouped in
+    # blocks of ``block_nodes``; each block owns ``BE`` edge slots whose
+    # destinations fall in its node range, and overflow edges spill to a small
+    # COO tail aggregated with the ordinary segment path.
+    #   blk_src      : [nb, BE] global source index (pad -> nodes_pad-1)
+    #   blk_dst_local: [nb, BE] destination index within the block [0, BN)
+    #   blk_mask     : [nb, BE]
+    #   blk_edge_perm: [nb, BE] index into the flat edge arrays (pad -> edges_pad-1)
+    #   spill_perm   : [S] flat edge index of spilled edges (pad -> edges_pad-1)
+    #   spill_mask   : [S]
+    blk_src: Optional[jax.Array] = None
+    blk_dst_local: Optional[jax.Array] = None
+    blk_mask: Optional[jax.Array] = None
+    blk_edge_perm: Optional[jax.Array] = None
+    spill_perm: Optional[jax.Array] = None
+    spill_mask: Optional[jax.Array] = None
+    block_nodes: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def has_blocked_layout(self) -> bool:
+        return self.blk_src is not None
+
     @property
     def nodes_pad(self) -> int:
         return self.node_tokens.shape[0]

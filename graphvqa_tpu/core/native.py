@@ -1,0 +1,187 @@
+"""ctypes bindings for the native C++ batch packer (native/packing.cc).
+
+The per-step collate (ragged -> padded + dst-sort + blocked layout) is the
+host-side hot loop at training scale (~5k batches/epoch over 943k questions).
+This module loads ``libgraphpack.so`` — building it on first use when a
+toolchain is available — and exposes drop-in replacements for
+:func:`graphvqa_tpu.core.packing.pack_graphs` /
+:func:`...build_blocked_edges`. Falls back to the pure-numpy path when the
+library cannot be built.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from graphvqa_tpu.core.graph import GraphBatch
+from graphvqa_tpu.core.packing import GraphSample
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    so = _NATIVE_DIR / "libgraphpack.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.gp_pack.restype = ctypes.c_int
+    lib.gp_build_blocked.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+def pack_graphs_native(
+    samples: Sequence[GraphSample],
+    nodes_pad: int,
+    edges_pad: int,
+    max_steps: int = 5,
+) -> GraphBatch:
+    """Native equivalent of packing.pack_graphs (always dst-sorted)."""
+    lib = _load()
+    if lib is None:
+        from graphvqa_tpu.core.packing import pack_graphs
+        return pack_graphs(samples, nodes_pad, edges_pad, max_steps)
+
+    num_graphs = len(samples)
+    tok_w = samples[0].node_tokens.shape[1] if samples else 12
+    etok_w = samples[0].edge_tokens.shape[1] if samples else 1
+
+    node_off = np.zeros(num_graphs + 1, np.int32)
+    edge_off = np.zeros(num_graphs + 1, np.int32)
+    for g, s in enumerate(samples):
+        node_off[g + 1] = node_off[g] + s.num_nodes
+        edge_off[g + 1] = edge_off[g] + s.num_edges
+    total_nodes, total_edges = int(node_off[-1]), int(edge_off[-1])
+    if total_nodes > nodes_pad or total_edges > edges_pad:
+        raise ValueError(
+            f"batch ({total_nodes}n/{total_edges}e) overflows bucket "
+            f"({nodes_pad}/{edges_pad})")
+
+    nt = np.ascontiguousarray(
+        np.concatenate([s.node_tokens for s in samples]), np.int32)
+    es = np.ascontiguousarray(
+        np.concatenate([s.edge_src for s in samples]), np.int32)
+    ed = np.ascontiguousarray(
+        np.concatenate([s.edge_dst for s in samples]), np.int32)
+    et = np.ascontiguousarray(
+        np.concatenate([s.edge_tokens for s in samples]), np.int32)
+    sym = np.ascontiguousarray(
+        np.concatenate([s.edge_sym for s in samples]), np.uint8)
+    have_bitmap = all(s.exec_bitmap is not None for s in samples)
+    if have_bitmap:
+        def _pad_steps(b):
+            k = min(max_steps, b.shape[1])
+            out = np.zeros((b.shape[0], max_steps), np.float32)
+            out[:, :k] = b[:, :k]
+            return out
+        bm = np.ascontiguousarray(
+            np.concatenate([_pad_steps(s.exec_bitmap) for s in samples]),
+            np.float32)
+    else:
+        bm = None
+
+    node_tokens = np.empty((nodes_pad, tok_w), np.int32)
+    node_graph = np.empty((nodes_pad,), np.int32)
+    node_mask = np.empty((nodes_pad,), np.uint8)
+    edge_src = np.empty((edges_pad,), np.int32)
+    edge_dst = np.empty((edges_pad,), np.int32)
+    edge_tokens = np.empty((edges_pad, etok_w), np.int32)
+    edge_mask = np.empty((edges_pad,), np.uint8)
+    edge_sym_sign = np.empty((edges_pad,), np.float32)
+    bitmap_out = np.empty((nodes_pad, max_steps), np.float32)
+
+    ret = lib.gp_pack(
+        num_graphs, tok_w, etok_w, max_steps,
+        _ptr(node_off, _i32p), _ptr(edge_off, _i32p),
+        _ptr(nt, _i32p), _ptr(es, _i32p), _ptr(ed, _i32p), _ptr(et, _i32p),
+        _ptr(sym, _u8p),
+        _ptr(bm, _f32p) if bm is not None else None,
+        nodes_pad, edges_pad,
+        _ptr(node_tokens, _i32p), _ptr(node_graph, _i32p),
+        _ptr(node_mask, _u8p), _ptr(edge_src, _i32p), _ptr(edge_dst, _i32p),
+        _ptr(edge_tokens, _i32p), _ptr(edge_mask, _u8p),
+        _ptr(edge_sym_sign, _f32p), _ptr(bitmap_out, _f32p))
+    if ret != 0:
+        raise ValueError("gp_pack overflow")
+
+    return GraphBatch(
+        node_tokens=node_tokens, node_graph=node_graph,
+        node_mask=node_mask.astype(bool),
+        edge_src=edge_src, edge_dst=edge_dst, edge_tokens=edge_tokens,
+        edge_mask=edge_mask.astype(bool), edge_sym_sign=edge_sym_sign,
+        exec_bitmap=bitmap_out, num_graphs=num_graphs)
+
+
+def build_blocked_edges_native(
+    gb: GraphBatch,
+    block_nodes: int = 16,
+    slots_per_node: int = 16,
+    spill_pad: Optional[int] = None,
+) -> GraphBatch:
+    """Native equivalent of packing.build_blocked_edges."""
+    lib = _load()
+    if lib is None:
+        from graphvqa_tpu.core.packing import build_blocked_edges
+        return build_blocked_edges(gb, block_nodes, slots_per_node, spill_pad)
+
+    nodes_pad, edges_pad = gb.nodes_pad, gb.edges_pad
+    assert nodes_pad % block_nodes == 0
+    nb = nodes_pad // block_nodes
+    BE = block_nodes * slots_per_node
+    if spill_pad is None:
+        spill_pad = max(256, edges_pad // 8)
+
+    src = np.ascontiguousarray(np.asarray(gb.edge_src), np.int32)
+    dst = np.ascontiguousarray(np.asarray(gb.edge_dst), np.int32)
+    mask = np.ascontiguousarray(np.asarray(gb.edge_mask), np.uint8)
+
+    blk_src = np.empty((nb, BE), np.int32)
+    blk_dst_local = np.empty((nb, BE), np.int32)
+    blk_mask = np.empty((nb, BE), np.uint8)
+    blk_edge_perm = np.empty((nb, BE), np.int32)
+    spill_perm = np.empty((spill_pad,), np.int32)
+    spill_mask = np.empty((spill_pad,), np.uint8)
+
+    ret = lib.gp_build_blocked(
+        nodes_pad, edges_pad, _ptr(src, _i32p), _ptr(dst, _i32p),
+        _ptr(mask, _u8p), block_nodes, slots_per_node, spill_pad,
+        _ptr(blk_src, _i32p), _ptr(blk_dst_local, _i32p),
+        _ptr(blk_mask, _u8p), _ptr(blk_edge_perm, _i32p),
+        _ptr(spill_perm, _i32p), _ptr(spill_mask, _u8p))
+    if ret < 0:
+        raise ValueError("blocked-layout spill overflow; increase "
+                         "slots_per_node or spill_pad")
+
+    return gb.replace(
+        blk_src=blk_src, blk_dst_local=blk_dst_local,
+        blk_mask=blk_mask.astype(bool), blk_edge_perm=blk_edge_perm,
+        spill_perm=spill_perm, spill_mask=spill_mask.astype(bool),
+        block_nodes=block_nodes)

@@ -150,12 +150,18 @@ def collate_qa(
     step-minor) order, matching the reference's 5x batch expansion
     (gqa_dataset_entry.py:659-663) and the decoder's repeat_interleave layout.
     """
-    graphs = pack_graphs(
+    from graphvqa_tpu.core.native import (
+        build_blocked_edges_native, pack_graphs_native)
+    graphs = pack_graphs_native(
         [it["graph"] for it in items],
         nodes_pad=batch_cfg.nodes_pad,
         edges_pad=batch_cfg.edges_pad,
         max_steps=max_steps,
     )
+    if batch_cfg.use_blocked_layout:
+        graphs = build_blocked_edges_native(
+            graphs, block_nodes=batch_cfg.block_nodes,
+            slots_per_node=batch_cfg.slots_per_node)
     questions = np.stack([
         text_vocab.encode(it["question_tokens"], batch_cfg.question_len)
         for it in items])

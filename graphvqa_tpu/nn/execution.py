@@ -62,9 +62,8 @@ class RecurrentExecutionEngine(nn.Module):
                 [jnp.take(x, graph.edge_src, axis=0),
                  jnp.take(hist_pad, src_graph, axis=0)], axis=-1)
             msg = node_mlp_1(msg_in)
-            aggr = scatter_edges_to_nodes(
-                msg, graph.edge_dst, N, edge_mask=graph.edge_mask,
-                reduce="mean")
+            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            aggr = aggregate_edge_values(graph, msg, reduce="mean")
             upd_in = jnp.concatenate(
                 [x, aggr, jnp.take(u_pad, graph.node_graph, axis=0)], axis=-1)
             x_out = node_mlp_2(upd_in) + x

@@ -94,9 +94,8 @@ class SceneGraphMetaLayer(nn.Module):
         node_msg_in = jnp.concatenate([x_src, edge_out], axis=-1)
         node_msg = MLP2(self.node_dim, self.node_dim, self.dtype,
                         name="node_mlp_1")(node_msg_in)
-        aggregated = scatter_edges_to_nodes(
-            node_msg, dst, graph.nodes_pad, edge_mask=graph.edge_mask,
-            reduce="mean")
+        from graphvqa_tpu.ops.blocked import aggregate_edge_values
+        aggregated = aggregate_edge_values(graph, node_msg, reduce="mean")
         node_out = MLP2(self.node_dim, self.node_dim, self.dtype,
                         name="node_mlp_2")(
             jnp.concatenate([x, aggregated], axis=-1))
@@ -178,18 +177,30 @@ class GATLayer(nn.Module):
             alpha_e = alpha_e + jnp.take(ins_e, graph.edge_graph(), axis=0)
         alpha_e = alpha_e.astype(dt)
 
-        logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
-                  + jnp.take(alpha_r, graph.edge_dst, axis=0)
-                  + alpha_e)
-        logits = nn.leaky_relu(logits, self.negative_slope)
-        alpha = segment_softmax(logits, graph.edge_dst, N,
-                                mask=graph.edge_mask, indices_are_sorted=True)
-        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
-
-        msgs = jnp.take(xw, graph.edge_src, axis=0) * alpha[..., None]  # [E,H,C]
-        out = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
-                                     edge_mask=graph.edge_mask)
-        out = out.mean(axis=1) + bias    # concat=False: mean over heads
+        apply_dropout = self.dropout > 0.0 and not deterministic
+        if graph.has_blocked_layout:
+            # MXU path: dense one-hot contraction per node block (ops/blocked.py)
+            from graphvqa_tpu.ops.blocked import blocked_gat_aggregate
+            drop_rng = self.make_rng("dropout") if apply_dropout else None
+            out3, _ = blocked_gat_aggregate(
+                graph, xw, alpha_l, alpha_r, alpha_e,
+                negative_slope=self.negative_slope,
+                dropout_rate=self.dropout if apply_dropout else 0.0,
+                dropout_rng=drop_rng)
+        else:
+            logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
+                      + jnp.take(alpha_r, graph.edge_dst, axis=0)
+                      + alpha_e)
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            alpha = segment_softmax(logits, graph.edge_dst, N,
+                                    mask=graph.edge_mask,
+                                    indices_are_sorted=True)
+            alpha = nn.Dropout(self.dropout)(alpha,
+                                             deterministic=deterministic)
+            msgs = jnp.take(xw, graph.edge_src, axis=0) * alpha[..., None]
+            out3 = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
+                                          edge_mask=graph.edge_mask)
+        out = out3.mean(axis=1) + bias   # concat=False: mean over heads
         return jnp.where(graph.node_mask[:, None], out, 0.0)
 
 
@@ -279,9 +290,9 @@ class GCNSeq(nn.Module):
 
             xw = GlorotLinear(self.out_channels, dtype=self.dtype,
                               name=f"conv_{i}_weight")(x_cat)
+            from graphvqa_tpu.ops.blocked import aggregate_edge_values
             msgs = jnp.take(xw, graph.edge_src, axis=0) * edge_norm[:, None]
-            aggr = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
-                                          edge_mask=graph.edge_mask)
+            aggr = aggregate_edge_values(graph, msgs)
             conv_res = aggr + xw * self_norm[:, None]
             conv_res = conv_res + self.param(
                 f"conv_{i}_bias", nn.initializers.zeros, (self.out_channels,))
@@ -335,8 +346,8 @@ class GINESeq(nn.Module):
                 [edge_attr, jnp.take(ins_pad, edge_graph, axis=0)], axis=-1)
 
             msgs = nn.relu(jnp.take(x_cat, graph.edge_src, axis=0) + edge_cat)
-            aggr = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
-                                          edge_mask=graph.edge_mask)
+            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            aggr = aggregate_edge_values(graph, msgs)
             conv_res = MLP2(self.out_channels, self.out_channels, self.dtype,
                             name=f"conv_{i}_mlp")(x_cat + aggr)
             conv_res = jnp.where(graph.node_mask[:, None], conv_res, 0.0)
@@ -397,9 +408,9 @@ class LCGNCell(nn.Module):
         x_val = GlorotLinear(H * C, name="cal_x")(x_joint).reshape(N, H, C)
         msgs = (jnp.take(x_val, graph.edge_src, axis=0)
                 * jnp.take(cal_cmd, graph.edge_src, axis=0)) * alpha[..., None]
-        out = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
-                                     edge_mask=graph.edge_mask)
-        out = out.mean(axis=1)  # concat=False
+        from graphvqa_tpu.ops.blocked import aggregate_edge_values
+        out = aggregate_edge_values(graph, msgs.reshape(msgs.shape[0], H * C))
+        out = out.reshape(N, H, C).mean(axis=1)  # concat=False
         out = out + self.param("bias", nn.initializers.zeros, (C,))
         return jnp.where(graph.node_mask[:, None], out, 0.0)
 

@@ -1,0 +1,158 @@
+// Native batch packer: ragged scene graphs -> static padded + blocked layout.
+//
+// C++ core of the host-side collate hot path (the Python reference path is
+// graphvqa_tpu/core/packing.py; semantics are identical and cross-checked by
+// tests/test_native_packing.py). Replaces the per-batch work the reference
+// delegated to PyG's C++ Batch.from_data_list + torch_scatter
+// (gqa_dataset_entry.py:654): global renumbering, destination counting-sort,
+// padded scatter, and ELL+spill blocked-layout construction — all O(E).
+//
+// Build: make -C native   (produces libgraphpack.so, loaded via ctypes)
+//
+// Exported C ABI (all arrays caller-allocated, int32/float32/uint8):
+//   gp_pack(...)          flat padded batch from concatenated ragged inputs
+//   gp_build_blocked(...) ELL+spill layout from a packed flat batch
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Pack concatenated ragged graphs into the padded flat layout.
+//
+// Inputs (concatenated over graphs, graph g owns [node_off[g], node_off[g+1])
+// nodes and [edge_off[g], edge_off[g+1]) edges; edge indices graph-local):
+//   num_graphs, tok_w, etok_w, max_steps : sizes
+//   node_off   [num_graphs+1]
+//   edge_off   [num_graphs+1]
+//   node_tokens_in [total_nodes * tok_w]
+//   edge_src_in / edge_dst_in [total_edges]
+//   edge_tokens_in [total_edges * etok_w]
+//   edge_sym_in [total_edges] (uint8)
+//   bitmap_in  [total_nodes * max_steps] (float32; may be null)
+//   nodes_pad, edges_pad : static bucket
+// Outputs (pre-allocated, padded):
+//   node_tokens_out [nodes_pad * tok_w]      (pad token 1)
+//   node_graph_out  [nodes_pad]              (pad -> num_graphs)
+//   node_mask_out   [nodes_pad] (uint8)
+//   edge_src_out / edge_dst_out [edges_pad]  (pad -> nodes_pad-1, dst-sorted)
+//   edge_tokens_out [edges_pad * etok_w]
+//   edge_mask_out   [edges_pad] (uint8)
+//   edge_sym_sign_out [edges_pad] (float32)
+//   bitmap_out      [nodes_pad * max_steps]
+// Returns 0 on success, negative on overflow.
+int gp_pack(
+    int32_t num_graphs, int32_t tok_w, int32_t etok_w, int32_t max_steps,
+    const int32_t* node_off, const int32_t* edge_off,
+    const int32_t* node_tokens_in,
+    const int32_t* edge_src_in, const int32_t* edge_dst_in,
+    const int32_t* edge_tokens_in, const uint8_t* edge_sym_in,
+    const float* bitmap_in,
+    int32_t nodes_pad, int32_t edges_pad,
+    int32_t* node_tokens_out, int32_t* node_graph_out, uint8_t* node_mask_out,
+    int32_t* edge_src_out, int32_t* edge_dst_out, int32_t* edge_tokens_out,
+    uint8_t* edge_mask_out, float* edge_sym_sign_out, float* bitmap_out) {
+  const int32_t total_nodes = node_off[num_graphs];
+  const int32_t total_edges = edge_off[num_graphs];
+  if (total_nodes > nodes_pad || total_edges > edges_pad) return -1;
+
+  // ---- node side: straight copy with padding defaults ----
+  for (int32_t i = 0; i < nodes_pad * tok_w; ++i) node_tokens_out[i] = 1;
+  std::memcpy(node_tokens_out, node_tokens_in,
+              sizeof(int32_t) * total_nodes * tok_w);
+  for (int32_t i = 0; i < nodes_pad; ++i) {
+    node_graph_out[i] = num_graphs;
+    node_mask_out[i] = 0;
+  }
+  for (int32_t g = 0; g < num_graphs; ++g)
+    for (int32_t i = node_off[g]; i < node_off[g + 1]; ++i) {
+      node_graph_out[i] = g;
+      node_mask_out[i] = 1;
+    }
+  std::memset(bitmap_out, 0, sizeof(float) * nodes_pad * max_steps);
+  if (bitmap_in)
+    std::memcpy(bitmap_out, bitmap_in,
+                sizeof(float) * total_nodes * max_steps);
+
+  // ---- edge side: globalize indices, stable counting-sort by dst ----
+  std::vector<int32_t> gsrc(total_edges), gdst(total_edges);
+  for (int32_t g = 0; g < num_graphs; ++g) {
+    const int32_t no = node_off[g];
+    for (int32_t e = edge_off[g]; e < edge_off[g + 1]; ++e) {
+      gsrc[e] = edge_src_in[e] + no;
+      gdst[e] = edge_dst_in[e] + no;
+    }
+  }
+  std::vector<int32_t> count(nodes_pad + 1, 0);
+  for (int32_t e = 0; e < total_edges; ++e) count[gdst[e] + 1]++;
+  for (int32_t i = 0; i < nodes_pad; ++i) count[i + 1] += count[i];
+
+  for (int32_t i = 0; i < edges_pad; ++i) {
+    edge_src_out[i] = nodes_pad - 1;
+    edge_dst_out[i] = nodes_pad - 1;
+    edge_mask_out[i] = 0;
+    edge_sym_sign_out[i] = 1.0f;
+  }
+  for (int32_t i = 0; i < edges_pad * etok_w; ++i) edge_tokens_out[i] = 1;
+
+  std::vector<int32_t> cursor(count.begin(), count.end() - 1);
+  for (int32_t e = 0; e < total_edges; ++e) {
+    const int32_t slot = cursor[gdst[e]]++;
+    edge_src_out[slot] = gsrc[e];
+    edge_dst_out[slot] = gdst[e];
+    edge_mask_out[slot] = 1;
+    edge_sym_sign_out[slot] = edge_sym_in[e] ? -1.0f : 1.0f;
+    for (int32_t t = 0; t < etok_w; ++t)
+      edge_tokens_out[slot * etok_w + t] = edge_tokens_in[e * etok_w + t];
+  }
+  return 0;
+}
+
+// Build the ELL + spill blocked layout from a packed flat batch
+// (mirror of core/packing.py:build_blocked_edges).
+// Returns number of spilled edges, or negative on spill overflow.
+int gp_build_blocked(
+    int32_t nodes_pad, int32_t edges_pad,
+    const int32_t* edge_src, const int32_t* edge_dst,
+    const uint8_t* edge_mask,
+    int32_t block_nodes, int32_t slots_per_node, int32_t spill_pad,
+    int32_t* blk_src, int32_t* blk_dst_local, uint8_t* blk_mask,
+    int32_t* blk_edge_perm, int32_t* spill_perm, uint8_t* spill_mask) {
+  const int32_t nb = nodes_pad / block_nodes;
+  const int32_t BE = block_nodes * slots_per_node;
+
+  for (int32_t i = 0; i < nb * BE; ++i) {
+    blk_src[i] = nodes_pad - 1;
+    blk_dst_local[i] = 0;
+    blk_mask[i] = 0;
+    blk_edge_perm[i] = edges_pad - 1;
+  }
+  for (int32_t i = 0; i < spill_pad; ++i) {
+    spill_perm[i] = edges_pad - 1;
+    spill_mask[i] = 0;
+  }
+
+  std::vector<int32_t> fill(nb, 0);
+  int32_t n_spill = 0;
+  for (int32_t e = 0; e < edges_pad; ++e) {
+    if (!edge_mask[e]) continue;
+    const int32_t b = edge_dst[e] / block_nodes;
+    const int32_t k = fill[b];
+    if (k < BE) {
+      const int64_t idx = (int64_t)b * BE + k;
+      blk_src[idx] = edge_src[e];
+      blk_dst_local[idx] = edge_dst[e] - b * block_nodes;
+      blk_mask[idx] = 1;
+      blk_edge_perm[idx] = e;
+      fill[b] = k + 1;
+    } else {
+      if (n_spill >= spill_pad) return -1;
+      spill_perm[n_spill] = e;
+      spill_mask[n_spill] = 1;
+      n_spill++;
+    }
+  }
+  return n_spill;
+}
+
+}  // extern "C"

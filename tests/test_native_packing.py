@@ -1,0 +1,54 @@
+"""Native C++ packer parity vs the numpy reference path."""
+import numpy as np
+import pytest
+
+from graphvqa_tpu.core.native import (
+    build_blocked_edges_native, native_available, pack_graphs_native)
+from graphvqa_tpu.core.packing import build_blocked_edges, pack_graphs
+from tests.helpers import random_sample
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+def _samples(seed=0, n_graphs=5):
+    rng = np.random.default_rng(seed)
+    return [random_sample(rng, int(rng.integers(3, 20)),
+                          int(rng.integers(4, 60))) for _ in range(n_graphs)]
+
+
+def test_pack_matches_python():
+    samples = _samples()
+    py = pack_graphs(samples, nodes_pad=128, edges_pad=512)
+    cc = pack_graphs_native(samples, nodes_pad=128, edges_pad=512)
+
+    np.testing.assert_array_equal(cc.node_tokens, py.node_tokens)
+    np.testing.assert_array_equal(cc.node_graph, py.node_graph)
+    np.testing.assert_array_equal(cc.node_mask, py.node_mask)
+    np.testing.assert_array_equal(cc.edge_src, py.edge_src)
+    np.testing.assert_array_equal(cc.edge_dst, py.edge_dst)
+    np.testing.assert_array_equal(cc.edge_tokens, py.edge_tokens)
+    np.testing.assert_array_equal(cc.edge_mask, py.edge_mask)
+    np.testing.assert_array_equal(cc.edge_sym_sign, py.edge_sym_sign)
+    np.testing.assert_array_equal(cc.exec_bitmap, py.exec_bitmap)
+
+
+def test_blocked_matches_python():
+    samples = _samples(seed=3)
+    py_flat = pack_graphs(samples, nodes_pad=128, edges_pad=512)
+    py = build_blocked_edges(py_flat, block_nodes=8, slots_per_node=4,
+                             spill_pad=128)
+    cc = build_blocked_edges_native(py_flat, block_nodes=8, slots_per_node=4,
+                                    spill_pad=128)
+    np.testing.assert_array_equal(cc.blk_src, py.blk_src)
+    np.testing.assert_array_equal(cc.blk_dst_local, py.blk_dst_local)
+    np.testing.assert_array_equal(cc.blk_mask, py.blk_mask)
+    np.testing.assert_array_equal(cc.blk_edge_perm, py.blk_edge_perm)
+    np.testing.assert_array_equal(cc.spill_perm, py.spill_perm)
+    np.testing.assert_array_equal(cc.spill_mask, py.spill_mask)
+
+
+def test_native_overflow_raises():
+    samples = _samples(seed=4)
+    with pytest.raises(ValueError):
+        pack_graphs_native(samples, nodes_pad=8, edges_pad=512)
