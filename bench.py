@@ -64,6 +64,9 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
     import jax.numpy as jnp
     from graphvqa_tpu.nn.gnn import GATSeq
 
+    # NOTE: everything the jitted fn touches must be an *argument* — closure-
+    # captured device arrays are downloaded through the relay at trace time
+    # (minutes for MBs), since jit embeds closures as constants.
     graph = jax.tree.map(jnp.asarray, graph)
     engine = GATSeq(out_channels=channels, num_rounds=rounds, heads=heads,
                     dropout=0.0)
@@ -75,8 +78,8 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
     variables = jax.jit(engine.init)({"params": key}, graph, x, e, ins)
     _log(f"[{label}] init done")
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def chain(v, x0, e, ins, n):
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def chain(v, graph, x0, e, ins, n):
         def body(i, x):
             h = engine.apply(v, graph, x, e, ins, deterministic=True,
                              use_running_average=True)
@@ -86,7 +89,7 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
 
     def run(n):
         t0 = time.perf_counter()
-        out = chain(variables, x, e, ins, n)
+        out = chain(variables, graph, x, e, ins, n)
         _ = np.asarray(out[:1, :1])  # force real execution through the relay
         return time.perf_counter() - t0
 

@@ -112,11 +112,20 @@ class GQADataset:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ) -> Iterator[tuple]:
-        """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps."""
+        """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps.
+
+        ``shard_index/num_shards`` give per-host input sharding — the
+        DistributedSampler replacement (mainExplain_gat.py:197-198): each host
+        packs its own slice of the epoch ordering.
+        """
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if num_shards > 1:
+            order = order[shard_index::num_shards]
         bs = batch_cfg.num_graphs
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]

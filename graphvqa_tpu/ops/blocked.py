@@ -22,10 +22,25 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from graphvqa_tpu.core.graph import GraphBatch
 from graphvqa_tpu.ops.segment import segment_sum, segment_max
 
 _NEG_INF = -1e30
+
+
+def _use_pallas() -> bool:
+    """Opt the message aggregation into the Pallas kernel (TPU backends only;
+    the XLA one-hot path is the oracle and the CPU/test path)."""
+    env = os.environ.get("GRAPHVQA_USE_PALLAS", "auto")
+    if env in ("0", "false", "off"):
+        return False
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    if env in ("1", "true", "on"):
+        return on_tpu
+    return False  # auto: stay on the XLA path until profiled faster
 
 
 def _onehot(graph: GraphBatch, dtype=jnp.float32) -> jax.Array:
@@ -168,11 +183,21 @@ def blocked_gat_aggregate(
             ks, keep, spill_alpha.shape).astype(spill_alpha.dtype) / keep
 
     # message aggregation: [nb, BE, H*C] one-hot contraction + spill scatter
-    blk_msgs = (jnp.take(xw, graph.blk_src, axis=0)
-                * blk_alpha[..., None]).reshape(nb, BE, H * C)
     spill_msgs = (jnp.take(xw, spill_src, axis=0)
                   * spill_alpha[..., None]).reshape(-1, H * C)
-    out = blocked_segment_sum(graph, blk_msgs, spill_msgs).reshape(N, H, C)
+    if _use_pallas():
+        from graphvqa_tpu.ops.pallas import pallas_blocked_aggregate
+        feats = jnp.take(xw, graph.blk_src, axis=0).reshape(nb, BE, H * C)
+        out = pallas_blocked_aggregate(
+            graph.blk_dst_local, blk_alpha, feats, graph.block_nodes)
+        spill_dst2 = jnp.take(graph.edge_dst, graph.spill_perm, axis=0)
+        out = out + segment_sum(spill_msgs, spill_dst2, N,
+                                mask=graph.spill_mask)
+        out = out.reshape(N, H, C)
+    else:
+        blk_msgs = (jnp.take(xw, graph.blk_src, axis=0)
+                    * blk_alpha[..., None]).reshape(nb, BE, H * C)
+        out = blocked_segment_sum(graph, blk_msgs, spill_msgs).reshape(N, H, C)
 
     if not return_alpha:
         return out, None
