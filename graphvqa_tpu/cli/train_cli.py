@@ -172,17 +172,50 @@ def main(args):
 
     train_ds = GQADataset(programs_path(args.split), scenes_path(args.split),
                           text_vocab, sg_vocab)
-    train_step = make_train_step(model, cfg)
+
+    from graphvqa_tpu.data.prefetch import prefetch
+    if args.data_parallel > 1:
+        # DP over a device mesh: stack data_parallel collated shards per step
+        # and let shard_map pmean the gradients (the DDP replacement)
+        from graphvqa_tpu.parallel import (
+            make_dp_train_step, make_mesh, shard_batch_sharding, stack_shards)
+        mesh = make_mesh(data=args.data_parallel, edge=1)
+        dp_step = make_dp_train_step(model, cfg, mesh)
+        sharding = shard_batch_sharding(mesh)
+
+        def dp_batches(epoch):
+            it = train_ds.iter_batches(cfg.batch, shuffle=True,
+                                       seed=args.seed + epoch, drop_last=True)
+            group = []
+            for m, b in it:
+                group.append(b)
+                if len(group) == args.data_parallel:
+                    stacked = stack_shards(
+                        [jax.tree.map(jnp.asarray, g) for g in group])
+                    yield m, jax.device_put(stacked, sharding)
+                    group = []
+
+        train_step = dp_step
+        batches_fn = dp_batches
+        steps_per_epoch = len(train_ds) // (args.batch_size
+                                            * args.data_parallel)
+    else:
+        train_step = make_train_step(model, cfg)
+
+        def batches_fn(epoch):
+            return ((m, jax.tree.map(jnp.asarray, b))
+                    for m, b in train_ds.iter_batches(
+                        cfg.batch, shuffle=True, seed=args.seed + epoch,
+                        drop_last=True))
+        steps_per_epoch = len(train_ds) // args.batch_size
+
     for epoch in range(start_epoch, args.epochs):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-        batches = (
-            (m, jax.tree.map(jnp.asarray, b))
-            for m, b in train_ds.iter_batches(
-                cfg.batch, shuffle=True, seed=args.seed + epoch,
-                drop_last=True))
-        state = train_one_epoch(train_step, state, batches, rng, epoch,
+        state = train_one_epoch(train_step, state,
+                                prefetch(batches_fn(epoch), depth=4),
+                                rng, epoch,
                                 print_freq=args.print_freq,
-                                num_batches=len(train_ds) // args.batch_size)
+                                num_batches=steps_per_epoch)
         if (epoch + 1) % 5 == 0:
             validate(eval_step, state, val_ds.iter_batches(cfg.batch), rng,
                      cfg, print_freq=args.print_freq)

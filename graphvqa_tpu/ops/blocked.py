@@ -187,12 +187,15 @@ def blocked_gat_aggregate(
                   * spill_alpha[..., None]).reshape(-1, H * C)
     if _use_pallas():
         from graphvqa_tpu.ops.pallas import pallas_blocked_aggregate
-        feats = jnp.take(xw, graph.blk_src, axis=0).reshape(nb, BE, H * C)
-        out = pallas_blocked_aggregate(
+        # kernel wants head-interleaved (C-major) lanes — see its contract
+        xw_cm = jnp.transpose(xw, (0, 2, 1)).reshape(N, C * H)
+        feats = jnp.take(xw_cm, graph.blk_src, axis=0).reshape(nb, BE, H * C)
+        out_cm = pallas_blocked_aggregate(
             graph.blk_dst_local, blk_alpha, feats, graph.block_nodes)
+        out = jnp.transpose(out_cm.reshape(N, C, H), (0, 2, 1))
         spill_dst2 = jnp.take(graph.edge_dst, graph.spill_perm, axis=0)
-        out = out + segment_sum(spill_msgs, spill_dst2, N,
-                                mask=graph.spill_mask)
+        out = out.reshape(N, H * C) + segment_sum(
+            spill_msgs, spill_dst2, N, mask=graph.spill_mask)
         out = out.reshape(N, H, C)
     else:
         blk_msgs = (jnp.take(xw, graph.blk_src, axis=0)

@@ -33,7 +33,7 @@ def pallas_available() -> bool:
 
 def _kernel(dst_ref, alpha_ref, feats_ref, out_ref, *,
             block_nodes: int, heads: int):
-    # dst_ref  : [1, BE] int32 destination-in-block ids
+    # dst_ref  : [1, 1, BE] int32 destination-in-block ids
     # alpha_ref: [1, BE, H] float32 per-edge/per-head weights (0 for padding)
     # feats_ref: [1, BE, H*C] float32 gathered source features
     # out_ref  : [1, BN, H*C]
@@ -41,13 +41,17 @@ def _kernel(dst_ref, alpha_ref, feats_ref, out_ref, *,
     D = feats_ref.shape[2]
     C = D // heads
     onehot = (
-        dst_ref[0, :][None, :]
+        dst_ref[0, 0, :][None, :]
         == jax.lax.broadcasted_iota(jnp.int32, (block_nodes, BE), 0)
     ).astype(jnp.float32)
     feats = feats_ref[0]
     if heads > 1:
-        weighted = (feats.reshape(BE, heads, C)
-                    * alpha_ref[0][..., None]).reshape(BE, D)
+        # CONTRACT: feats lanes are head-INTERLEAVED (C-major): lane l holds
+        # head l % H, channel l // H. pltpu.repeat tiles its input, so
+        # tile(alpha[BE, H], C) puts alpha[l % H] on lane l — matching that
+        # layout without any (Mosaic-unsupported) lane-dim reshape.
+        alpha_rep = pltpu.repeat(alpha_ref[0], C, axis=1)   # [BE, H*C]
+        weighted = feats * alpha_rep
     else:
         weighted = feats * alpha_ref[0]             # [BE, D] (VPU)
     out_ref[0] = jnp.dot(onehot, weighted,
@@ -59,11 +63,13 @@ def pallas_blocked_aggregate(
     dst_local: jax.Array,   # [nb, BE] int32 (padding slots may hold any id —
                             #  their alpha must be 0)
     alpha: jax.Array,       # [nb, BE] or [nb, BE, H] weights (0 on padding)
-    feats: jax.Array,       # [nb, BE, H*C] gathered features
+    feats: jax.Array,       # [nb, BE, H*C] gathered features; multi-head
+                            #  lanes must be head-INTERLEAVED (C-major):
+                            #  lane l = (head l % H, channel l // H)
     block_nodes: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns [nb * block_nodes, H*C]."""
+    """Returns [nb * block_nodes, H*C] in the same lane layout as ``feats``."""
     nb, BE = dst_local.shape
     D = feats.shape[-1]
     if alpha.ndim == 2:
@@ -73,7 +79,8 @@ def pallas_blocked_aggregate(
         functools.partial(_kernel, block_nodes=block_nodes, heads=heads),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, BE), lambda i: (i, 0),
+            # [nb, 1, BE]: keeps Mosaic's (8,128)-divisible-or-full rule happy
+            pl.BlockSpec((1, 1, BE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BE, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -84,5 +91,6 @@ def pallas_blocked_aggregate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, block_nodes, D), jnp.float32),
         interpret=interpret,
-    )(dst_local, alpha.astype(jnp.float32), feats.astype(jnp.float32))
+    )(dst_local[:, None, :], alpha.astype(jnp.float32),
+      feats.astype(jnp.float32))
     return out.reshape(nb * block_nodes, D)

@@ -32,7 +32,8 @@ from graphvqa_tpu.config import Config
 from graphvqa_tpu.core.graph import QABatch
 from graphvqa_tpu.models import PipelineModel
 from graphvqa_tpu.train.losses import total_loss
-from graphvqa_tpu.train.metrics import topk_accuracy
+from graphvqa_tpu.train.metrics import (
+    program_string_exact_match_acc, topk_accuracy)
 from graphvqa_tpu.train.train_state import TrainState
 
 
@@ -86,9 +87,17 @@ def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callabl
 
         sa_c, sa_t = topk_accuracy(out.short_answer_logits,
                                    batch.short_answer_label)
+        prog_pred = jnp.argmax(out.program_logits, axis=-1)
+        (p_c, p_t), (g_c, g_t), (ne_c, ne_t) = program_string_exact_match_acc(
+            prog_pred, programs_target, pad, cfg.model.max_execution_steps)
         metrics = {k: jax.lax.pmean(v, "data") for k, v in parts.items()}
-        metrics["short_answer_correct"] = jax.lax.psum(sa_c, "data")
-        metrics["short_answer_total"] = jax.lax.psum(sa_t, "data")
+        counts = dict(
+            short_answer_correct=sa_c, short_answer_total=sa_t,
+            program_correct=p_c, program_total=p_t,
+            program_group_correct=g_c, program_group_total=g_t,
+            program_nonempty_correct=ne_c, program_nonempty_total=ne_t)
+        metrics.update(
+            {k: jax.lax.psum(v, "data") for k, v in counts.items()})
         return grads, new_bs, metrics
 
     mapped = _shard_map(

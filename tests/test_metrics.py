@@ -45,3 +45,18 @@ def test_program_group_and_nonempty():
     assert (int(c), int(t)) == (3, 4)
     assert (int(gc), int(gt)) == (1, 2)      # only group 0 fully correct
     assert (int(nc), int(nt)) == (1, 2)      # non-empty rows: #0 ok, #2 wrong
+
+
+def test_prefetch_yields_all_and_propagates_errors():
+    from graphvqa_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(10), depth=2)) == list(range(10))
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+    import pytest
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)

@@ -27,3 +27,21 @@ def test_blocked_aggregate_matches_dense():
         for e in range(BE):
             want[i * BN + dst_local[i, e]] += alpha[i, e] * feats[i, e]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_aggregate_multihead_interleaved():
+    """Multi-head path: alpha tiled over C-major (head-interleaved) lanes."""
+    rng = np.random.default_rng(1)
+    nb, BE, BN, H, C = 3, 16, 4, 2, 5
+    dst = rng.integers(0, BN, (nb, BE)).astype(np.int32)
+    alpha = rng.random((nb, BE, H)).astype(np.float32)
+    feats = rng.normal(size=(nb, BE, H * C)).astype(np.float32)
+    got = np.asarray(pallas_blocked_aggregate(
+        jnp.asarray(dst), jnp.asarray(alpha), jnp.asarray(feats), BN,
+        interpret=True))
+    want = np.zeros((nb * BN, H * C), np.float32)
+    for i in range(nb):
+        for e in range(BE):
+            w = np.tile(alpha[i, e], C)   # lane l -> head l % H
+            want[i * BN + dst[i, e]] += w * feats[i, e]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

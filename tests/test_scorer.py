@@ -1,0 +1,90 @@
+"""Official scorer semantics on a hand-built mini dataset."""
+from graphvqa_tpu.eval.scorer import format_report, score_predictions
+
+
+def _q(qid, answer, structural="query", semantic="attr", detailed="x",
+       entailed=(), group=None, question="what is it ?", balanced=True,
+       ops=("select", "query")):
+    return {
+        "answer": answer,
+        "question": question,
+        "isBalanced": balanced,
+        "entailed": list(entailed),
+        "types": {"structural": structural, "semantic": semantic,
+                  "detailed": detailed},
+        "groups": {"global": group, "local": "x"},
+        "semantic": [{"operation": o, "argument": ""} for o in ops],
+        "imageId": "1",
+    }
+
+
+def test_accuracy_binary_open_split():
+    questions = {
+        "1": _q("1", "red", structural="query"),          # open
+        "2": _q("2", "yes", structural="verify"),         # binary
+        "3": _q("3", "no", structural="verify"),          # binary
+    }
+    preds = {"1": "red", "2": "yes", "3": "yes"}
+    s = score_predictions(questions, preds)
+    assert s["num_questions"] == 3
+    assert abs(s["accuracy"] - 100 * 2 / 3) < 1e-6
+    assert s["open"] == 100.0
+    assert s["binary"] == 50.0
+
+
+def test_missing_prediction_defaults_to_yes():
+    questions = {"1": _q("1", "yes", structural="verify")}
+    s = score_predictions(questions, {})
+    assert s["accuracy"] == 100.0
+
+
+def test_consistency_counts_entailed():
+    questions = {
+        "1": _q("1", "yes", structural="verify", entailed=["2"]),
+        "2": _q("2", "no", structural="verify"),
+    }
+    # q1 correct, entailed q2 wrong -> consistency 0
+    s = score_predictions(questions, {"1": "yes", "2": "yes"},
+                          consistency=True)
+    assert s["consistency"] == 0.0
+    # both correct -> consistency 100
+    s = score_predictions(questions, {"1": "yes", "2": "no"},
+                          consistency=True)
+    assert s["consistency"] == 100.0
+
+
+def test_validity_plausibility_and_common_normalization():
+    questions = {
+        "1": _q("1", "red", detailed="chooseCommon"),
+    }
+    choices = {"1": {"valid": ["red", "blue"], "plausible": ["red"]}}
+    # "Common" in detailed type overrides the choice lists
+    s = score_predictions(questions, {"1": "color"}, choices=choices)
+    assert s["validity"] == 100.0 and s["plausibility"] == 100.0
+    s = score_predictions(questions, {"1": "red"}, choices=choices)
+    assert s["validity"] == 0.0  # red not in [color, material, shape]
+
+
+def test_distribution_zero_when_matched():
+    questions = {
+        "1": _q("1", "red", group="color"),
+        "2": _q("2", "red", group="color"),
+    }
+    s = score_predictions(questions, {"1": "red", "2": "red"})
+    assert s["distribution"] == 0.0
+
+
+def test_steps_num_excludes_trivial_ops():
+    q = _q("1", "red", ops=("select", "exist", "query"))
+    # exist excluded -> 2 steps
+    questions = {"1": q}
+    s = score_predictions(questions, {"1": "red"})
+    assert 2 in s["accuracyPerSteps"]
+
+
+def test_report_formats():
+    questions = {"1": _q("1", "red")}
+    s = score_predictions(questions, {"1": "red"})
+    rep = format_report(s)
+    assert "Accuracy: 100.00%" in rep
+    assert "Accuracy / structural type:" in rep

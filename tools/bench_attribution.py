@@ -24,10 +24,10 @@ def main():
     graph = jax.tree.map(jnp.asarray, graph)
     N, E = graph.nodes_pad, graph.edges_pad
     H, C, D = 4, 300, 1200
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32) * 0.05)
-    attn = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (N, C), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (C, D)) * 0.05
+    attn = jax.random.normal(jax.random.fold_in(key, 2), (E, H), jnp.float32)
 
     def timed(name, fn, *args, reps=(4, 20)):
         @functools.partial(jax.jit, static_argnums=0)
