@@ -76,6 +76,9 @@ class GraphBatch:
     spill_perm: Optional[jax.Array] = None
     spill_mask: Optional[jax.Array] = None
     block_nodes: int = struct.field(pytree_node=False, default=0)
+    # static: True when any edge spilled out of its node block; the fully
+    # fused Pallas round requires has_spill=False (softmax completeness)
+    has_spill: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def has_blocked_layout(self) -> bool:

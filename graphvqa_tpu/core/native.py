@@ -184,4 +184,4 @@ def build_blocked_edges_native(
         blk_src=blk_src, blk_dst_local=blk_dst_local,
         blk_mask=blk_mask.astype(bool), blk_edge_perm=blk_edge_perm,
         spill_perm=spill_perm, spill_mask=spill_mask.astype(bool),
-        block_nodes=block_nodes)
+        block_nodes=block_nodes, has_spill=ret > 0)

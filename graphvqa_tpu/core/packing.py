@@ -180,7 +180,7 @@ def build_blocked_edges(
     return gb.replace(
         blk_src=blk_src, blk_dst_local=blk_dst_local, blk_mask=blk_mask,
         blk_edge_perm=blk_edge_perm, spill_perm=spill_perm,
-        spill_mask=spill_mask, block_nodes=BN)
+        spill_mask=spill_mask, block_nodes=BN, has_spill=n_spill > 0)
 
 
 # Default bucket ladder: (nodes_pad, edges_pad) per graph-count tier. GQA

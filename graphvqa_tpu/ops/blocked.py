@@ -151,6 +151,19 @@ def blocked_gat_aggregate(
 
     blk_logits = logits_of(graph.blk_src, blk_dst_global,
                            graph.blk_edge_perm, graph.blk_mask)  # [nb, BE, H]
+
+    # fully fused Pallas round: softmax + aggregation in one kernel pass —
+    # valid only when no edge spilled (softmax completeness per block) and
+    # without attention dropout / alpha observability
+    if (_use_pallas() and not graph.has_spill and dropout_rate == 0.0
+            and not return_alpha):
+        from graphvqa_tpu.ops.pallas.fused_gat import pallas_fused_gat_round
+        xw_cm = jnp.transpose(xw, (0, 2, 1)).reshape(N, C * H)
+        feats = jnp.take(xw_cm, graph.blk_src, axis=0).reshape(nb, BE, H * C)
+        out_cm = pallas_fused_gat_round(
+            graph.blk_dst_local, blk_logits, feats, graph.block_nodes)
+        out = jnp.transpose(out_cm.reshape(N, C, H), (0, 2, 1))
+        return out, None
     spill_src = jnp.take(graph.edge_src, graph.spill_perm, axis=0)
     spill_dst = jnp.take(graph.edge_dst, graph.spill_perm, axis=0)
     spill_logits = logits_of(spill_src, spill_dst, graph.spill_perm,

@@ -58,7 +58,12 @@ def _kernel(dst_ref, alpha_ref, feats_ref, out_ref, *,
                          preferred_element_type=jnp.float32)  # MXU
 
 
-@functools.partial(jax.jit, static_argnames=("block_nodes", "interpret"))
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_nodes", "interpret",
+                                             "vmem_budget"))
 def pallas_blocked_aggregate(
     dst_local: jax.Array,   # [nb, BE] int32 (padding slots may hold any id —
                             #  their alpha must be 0)
@@ -68,29 +73,54 @@ def pallas_blocked_aggregate(
                             #  lane l = (head l % H, channel l // H)
     block_nodes: int,
     interpret: bool = False,
+    vmem_budget: int = 6 * 1024 * 1024,
 ) -> jax.Array:
-    """Returns [nb * block_nodes, H*C] in the same lane layout as ``feats``."""
+    """Returns [nb * block_nodes, H*C] in the same lane layout as ``feats``.
+
+    Channels are chunked into a second grid dimension so each step's feature
+    block (double-buffered by the pipeline) stays within the VMEM budget;
+    lanes are padded to a 128 multiple for Mosaic tiling.
+    """
     nb, BE = dst_local.shape
     D = feats.shape[-1]
     if alpha.ndim == 2:
         alpha = alpha[..., None]
     heads = alpha.shape[-1]
+
+    d_pad = _round_up(D, 128)
+    if d_pad != D:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, d_pad - D)))
+    # chunk so BE * d_chunk * 4B fits the per-buffer budget; chunks are
+    # 128-multiples (also head-multiples since 128 % heads == 0 for H<=128
+    # powers of two; enforced below)
+    n_chunks = 1
+    while (BE * (d_pad // n_chunks) * 4 > vmem_budget
+           or d_pad % (n_chunks * 128) != 0):
+        n_chunks += 1
+        if n_chunks > d_pad // 128:
+            n_chunks = d_pad // 128
+            break
+    d_chunk = d_pad // n_chunks
+    assert d_chunk % heads == 0, (d_chunk, heads)
+
     out = pl.pallas_call(
         functools.partial(_kernel, block_nodes=block_nodes, heads=heads),
-        grid=(nb,),
+        grid=(nb, n_chunks),
         in_specs=[
             # [nb, 1, BE]: keeps Mosaic's (8,128)-divisible-or-full rule happy
-            pl.BlockSpec((1, 1, BE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, BE), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BE, heads), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, BE, heads), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BE, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, BE, d_chunk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_nodes, D), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, block_nodes, d_chunk),
+                               lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, block_nodes, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, block_nodes, d_pad), jnp.float32),
         interpret=interpret,
     )(dst_local[:, None, :], alpha.astype(jnp.float32),
       feats.astype(jnp.float32))
-    return out.reshape(nb * block_nodes, D)
+    out = out.reshape(nb * block_nodes, d_pad)
+    return out[:, :D] if d_pad != D else out
