@@ -45,6 +45,9 @@ def get_args_parser():
     p.add_argument("--resume", default="", help="checkpoint dir to resume from")
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--dump-result", action="store_true")
+    p.add_argument("--dump-attentions", action="store_true",
+                   help="also dump object-based attention maps for the "
+                        "official grounding metric (eval.py:82,160-165)")
     p.add_argument("--seed", default=1234, type=int)
     p.add_argument("--output_dir", "--output-dir", default="./outputdir",
                    dest="output_dir")
@@ -166,7 +169,10 @@ def main(args):
             text_vocab=text_vocab, label2ans=label2ans,
             dump_path=str(out_dir / "dump_results.json")
             if args.dump_result else None,
-            print_freq=args.print_freq)
+            print_freq=args.print_freq,
+            dump_attentions_path=str(out_dir / "dump_attentions.json")
+            if args.dump_attentions else None,
+            scenes=val_ds.sg_data if args.dump_attentions else None)
         print(res)
         return
 

@@ -93,6 +93,7 @@ class GQADataset:
 
         return {
             "question_id": question_id,
+            "image_id": image_id,
             "question_tokens": tokenize(question_text),
             "question_text": question_text,
             "graph": GraphSample(
@@ -138,6 +139,7 @@ class GQADataset:
                 items.append(items[-1])
             yield (
                 {"question_ids": [it["question_id"] for it in items],
+                 "image_ids": [it["image_id"] for it in items],
                  "questions": [it["question_text"] for it in items],
                  "answers": [it["short_answer"] for it in items],
                  "types": [it["types"] for it in items],

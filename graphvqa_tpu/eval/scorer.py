@@ -42,11 +42,87 @@ def _belongs(element, group, question) -> bool:
     return element in group
 
 
+# ---------------------------------------------------------------------------
+# Grounding score (eval.py:268-338): how much attention mass the model places
+# on the regions the question/answer annotations point at.
+# ---------------------------------------------------------------------------
+
+def _interval_overlap(a0, a1, b0, b1) -> float:
+    lo, hi = max(a0, b0), min(a1, b1)
+    return hi - lo if hi > lo else 0.0
+
+
+def _intersection_rate(cell, region) -> float:
+    """Fraction of ``cell`` covered by ``region`` (eval.py:294-298).
+    c = (x0, y0, x1, y1), normalized to [0, 1]."""
+    inter = (_interval_overlap(cell[0], cell[2], region[0], region[2])
+             * _interval_overlap(cell[1], cell[3], region[1], region[3]))
+    area = (cell[2] - cell[0]) * (cell[3] - cell[1])
+    return inter / area if area > 0 else 0.0
+
+
+def _region_of(scene: dict, object_id: str):
+    obj = scene["objects"].get(str(object_id))
+    if obj is None:
+        return None
+    w = float(scene.get("width", 1)) or 1.0
+    h = float(scene.get("height", 1)) or 1.0
+    return (obj["x"] / w, obj["y"] / h,
+            (obj["x"] + obj["w"]) / w, (obj["y"] + obj["h"]) / h)
+
+
+def grounding_score(
+    question: dict,
+    scene: dict,
+    attention,
+    object_features: bool = True,
+    map_size: int = 7,
+):
+    """Attention mass on gold regions (eval.py:316-338).
+
+    ``attention`` is either a list of [x0, y0, x1, y1, att] rows (object-based
+    attention, the format our validate() dumps) or a map_size x map_size
+    spatial grid. Gold regions come from the question/fullAnswer annotation
+    pointers plus the whole image when any op mentions the scene. NOTE: the
+    reference's object-features branch reads an undefined variable
+    (eval.py:329, ``cells`` used before assignment) — this implements the
+    intended semantics.
+    """
+    regions = []
+    ann = question.get("annotations", {})
+    for pointer in ann.get("question", {}).values():
+        r = _region_of(scene, pointer)
+        if r is not None:
+            regions.append(r)
+    for pointer in ann.get("fullAnswer", {}).values():
+        r = _region_of(scene, pointer)
+        if r is not None:
+            regions.append(r)
+    if any("scene" in c.get("operation", "") or "scene" in str(c.get("argument", ""))
+           for c in question.get("semantic", [])):
+        regions.append((0.0, 0.0, 1.0, 1.0))
+
+    if object_features:
+        cells = [((r[0], r[1], r[2], r[3]), r[4]) for r in attention]
+    else:
+        edge = 1.0 / map_size
+        cells = [((edge * i, edge * j, edge * (i + 1), edge * (j + 1)),
+                  attention[i][j])
+                 for i in range(map_size) for j in range(map_size)]
+
+    return sum(att * _intersection_rate(cell, region)
+               for region in regions for cell, att in cells)
+
+
 def score_predictions(
     questions: Dict[str, dict],
     predictions: Dict[str, str],
     choices: Optional[Dict[str, dict]] = None,
     consistency: bool = False,
+    attentions: Optional[Dict[str, list]] = None,
+    scenes: Optional[Dict[str, dict]] = None,
+    object_features: bool = True,
+    map_size: int = 7,
 ) -> dict:
     """Compute the official metric dict.
 
@@ -55,6 +131,11 @@ def score_predictions(
       predictions: questionId -> predicted short answer
       choices: questionId -> {"valid": [...], "plausible": [...]} (optional)
       consistency: include the consistency metric (needs entailed coverage)
+      attentions: questionId -> attention map (object rows or spatial grid)
+                  for the grounding metric (optional, needs scenes)
+      scenes: imageId -> scene graph (for grounding gold regions)
+      object_features: attentions are [x0,y0,x1,y1,att] rows, not a grid
+      map_size: spatial grid size when object_features=False (eval.py:84)
     """
     # missing predictions default to 'yes'
     predictions = dict(predictions)
@@ -69,6 +150,7 @@ def score_predictions(
         "accuracyPerSemanticType": defaultdict(list),
         "accuracyPerLength": defaultdict(list),
         "accuracyPerSteps": defaultdict(list),
+        "grounding": [],
     }
     dist_gold: dict = defaultdict(lambda: defaultdict(int))
     dist_pred: dict = defaultdict(lambda: defaultdict(int))
@@ -94,6 +176,12 @@ def score_predictions(
                 1.0 if _belongs(predicted, choices[qid]["valid"], q) else 0.0)
             scores["plausibility"].append(
                 1.0 if _belongs(predicted, choices[qid]["plausible"], q) else 0.0)
+
+        if (attentions is not None and scenes is not None
+                and qid in attentions and q.get("imageId") in scenes):
+            scores["grounding"].append(grounding_score(
+                q, scenes[q["imageId"]], attentions[qid],
+                object_features=object_features, map_size=map_size))
 
         group = q.get("groups", {}).get("global")
         if group is not None and group != "":
@@ -133,6 +221,7 @@ def score_predictions(
         "validity": _avg(scores["validity"]) * 100,
         "plausibility": _avg(scores["plausibility"]) * 100,
         "consistency": _avg(scores["consistency"]) * 100,
+        "grounding": _avg(scores["grounding"]) * 100,
         "distribution": distribution,
         "accuracyPerStructuralType": {
             k: (_avg(v) * 100, len(v))
@@ -151,12 +240,15 @@ def score_predictions(
     return out
 
 
-def format_report(scores: dict, consistency: bool = False) -> str:
+def format_report(scores: dict, consistency: bool = False,
+                  grounding: bool = False) -> str:
     """Human-readable report in the eval_result/* layout (eval.py:444-478)."""
     lines = []
     for m in ("binary", "open", "accuracy", "consistency", "validity",
-              "plausibility", "distribution"):
+              "plausibility", "grounding", "distribution"):
         if m == "consistency" and not consistency:
+            continue
+        if m == "grounding" and not grounding:
             continue
         suffix = " (lower is better)" if m == "distribution" else "%"
         lines.append(f"{m.capitalize()}: {scores[m]:.2f}{suffix}")
@@ -180,6 +272,15 @@ def main():
                         help="dump_results.json from validate()")
     parser.add_argument("--choices", default=None)
     parser.add_argument("--consistency", action="store_true")
+    parser.add_argument("--grounding", action="store_true")
+    parser.add_argument("--attentions", default=None,
+                        help="attentions json from validate()")
+    parser.add_argument("--scenes", default=None,
+                        help="scene graphs json (gold regions for grounding)")
+    parser.add_argument("--spatial-features", action="store_true",
+                        help="attentions are map-size x map-size grids "
+                             "instead of object rows (eval.py:83)")
+    parser.add_argument("--map-size", type=int, default=7)
     args = parser.parse_args()
 
     questions = json.loads(pathlib.Path(args.questions).read_text())
@@ -187,9 +288,20 @@ def main():
     predictions = {qid: d["prediction"] for qid, d in dump.items()}
     choices = (json.loads(pathlib.Path(args.choices).read_text())
                if args.choices else None)
+    attentions = scenes = None
+    if args.grounding:
+        if not args.attentions or not args.scenes:
+            parser.error("--grounding requires --attentions and --scenes")
+        raw = json.loads(pathlib.Path(args.attentions).read_text())
+        attentions = {a["questionId"]: a["attention"] for a in raw}
+        scenes = json.loads(pathlib.Path(args.scenes).read_text())
     scores = score_predictions(questions, predictions, choices,
-                               consistency=args.consistency)
-    print(format_report(scores, consistency=args.consistency))
+                               consistency=args.consistency,
+                               attentions=attentions, scenes=scenes,
+                               object_features=not args.spatial_features,
+                               map_size=args.map_size)
+    print(format_report(scores, consistency=args.consistency,
+                        grounding=args.grounding))
 
 
 if __name__ == "__main__":

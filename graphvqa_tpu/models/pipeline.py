@@ -41,6 +41,7 @@ class ModelOutput:
     full_answer_logits: Optional[jax.Array] = None
     full_answer_tokens: Optional[jax.Array] = None
     execution_bitmap: Optional[jax.Array] = None   # [N, M]
+    node_attention: Optional[jax.Array] = None     # [N] pooling gate per node
 
 
 class PipelineModel(nn.Module):
@@ -160,7 +161,7 @@ class PipelineModel(nn.Module):
         # global language feature = <start>-position encoding
         # (pipeline_model_gat.py:799)
         q_feat = questions_encoded[:, 0, :]
-        graph_feat = self.pooling(graph, x_executed, q_feat)   # [B, D]
+        graph_feat, node_gate = self.pooling(graph, x_executed, q_feat)
 
         fused = jnp.concatenate(
             [graph_feat, q_feat, graph_feat * q_feat], axis=-1)
@@ -188,4 +189,5 @@ class PipelineModel(nn.Module):
             full_answer_logits=full_answer_logits,
             full_answer_tokens=full_answer_tokens,
             execution_bitmap=execution_bitmap,
+            node_attention=node_gate[:, 0],
         )

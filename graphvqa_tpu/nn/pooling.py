@@ -25,7 +25,14 @@ class ConditionalGlobalAttention(nn.Module):
         graph: GraphBatch,
         x: jax.Array,        # [N, node_dim]
         u: jax.Array,        # [B, out_features] global language feature
-    ) -> jax.Array:
+    ) -> tuple:
+        """Returns (readout [B, D], gate [N, 1]).
+
+        The gate is the per-node attention distribution (softmax within each
+        graph) — the model's object-level attention map, consumed by the
+        official grounding metric (reference: eval.py:316-338; the reference
+        layer exposes it through ``gate_* = gate`` at
+        pipeline_model_gat.py:178)."""
         D = self.out_features
         B = graph.num_graphs
 
@@ -40,4 +47,4 @@ class ConditionalGlobalAttention(nn.Module):
                                mask=graph.node_mask)
         out = segment_sum(gate * x, graph.node_graph, B + 1,
                           mask=graph.node_mask)
-        return out[:B]
+        return out[:B], gate

@@ -118,7 +118,7 @@ def make_eval_step(model: PipelineModel, cfg: Config) -> Callable:
             program_group_correct=g_c, program_group_total=g_t,
             program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
         )
-        return metrics, sa_pred, sa_score, out.program_tokens
+        return metrics, sa_pred, sa_score, out.program_tokens, out.node_attention
 
     return eval_step
 
@@ -168,18 +168,26 @@ def validate(
     label2ans=None,
     dump_path: Optional[str] = None,
     print_freq: int = 100,
+    dump_attentions_path: Optional[str] = None,
+    scenes: Optional[dict] = None,
 ) -> Dict[str, float]:
+    """``dump_attentions_path`` + ``scenes`` additionally write the official
+    object-based attentions file ([{"questionId", "attention": [[x0, y0, x1,
+    y1, att], ...]}], eval.py:160-165,328-329) from the pooling gate — node
+    order is the builder's sorted-object-id order (data/scene_graph.py)."""
     sa = AverageMeter("Acc@Short", ":6.2f")
     pa = AverageMeter("Acc@Program", ":6.2f")
     pg = AverageMeter("Acc@ProgramGroup", ":4.2f")
     pne = AverageMeter("Acc@ProgramNonEmpty", ":4.2f")
     progress = ProgressMeter(0, [sa, pa, pg, pne], prefix="Test: ")
     quesid2ans = {}
+    attentions_out = []
     M = cfg.model.max_execution_steps
 
     i = -1
     for i, (meta, batch) in enumerate(batches):
-        m, sa_pred, sa_score, prog_tokens = eval_step(state, batch, rng)
+        m, sa_pred, sa_score, prog_tokens, node_att = eval_step(
+            state, batch, rng)
         real = meta.get("real_count", batch.questions.shape[0])
         # meters count only real (non-replicated) rows; in-graph counts cover
         # the padded tail too, so recompute host-side on the real prefix
@@ -218,9 +226,39 @@ def validate(
                     "prediction_score": "{:.2f}".format(float(sa_score_np[b])),
                     "types": meta["types"][b],
                 }
+        if dump_attentions_path is not None and scenes is not None:
+            node_att_np = jax.device_get(node_att)
+            node_graph_np = jax.device_get(batch.graphs.node_graph)
+            for b in range(real):
+                image_id = meta["image_ids"][b]
+                scene = scenes.get(str(image_id), {})
+                objects = scene.get("objects", {})
+                if not objects:
+                    continue
+                att = node_att_np[node_graph_np == b]
+                boxes = []
+                w = float(scene.get("width", 1)) or 1.0
+                h = float(scene.get("height", 1)) or 1.0
+                for k, oid in enumerate(sorted(objects.keys())):
+                    if k >= len(att):
+                        break
+                    o = objects[oid]
+                    boxes.append([o["x"] / w, o["y"] / h,
+                                  (o["x"] + o["w"]) / w,
+                                  (o["y"] + o["h"]) / h,
+                                  float(att[k])])
+                attentions_out.append(
+                    {"questionId": str(meta["question_ids"][b]),
+                     "attention": boxes})
         if i % print_freq == 0:
             progress.display(i)
     progress.display(i + 1)
+
+    if dump_attentions_path is not None:
+        path = pathlib.Path(dump_attentions_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(attentions_out))
+        print("Attentions Dumped!", str(path))
 
     if dump_path is not None:
         path = pathlib.Path(dump_path)

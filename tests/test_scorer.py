@@ -88,3 +88,65 @@ def test_report_formats():
     rep = format_report(s)
     assert "Accuracy: 100.00%" in rep
     assert "Accuracy / structural type:" in rep
+
+
+# ------------------------------- grounding --------------------------------
+
+_SCENE = {
+    "width": 100, "height": 100,
+    "objects": {
+        "10": {"x": 0, "y": 0, "w": 50, "h": 50},      # top-left quadrant
+        "11": {"x": 50, "y": 50, "w": 50, "h": 50},    # bottom-right quadrant
+    },
+}
+
+
+def _grounded_q(pointer="10"):
+    q = _q("1", "red")
+    q["annotations"] = {"question": {"0": pointer}, "answer": {},
+                        "fullAnswer": {}}
+    return q
+
+
+def test_grounding_object_features_full_mass_on_gold():
+    from graphvqa_tpu.eval.scorer import grounding_score
+    q = _grounded_q("10")
+    # all attention on the gold object's box -> its cell is fully inside the
+    # gold region -> score 1.0
+    attention = [[0.0, 0.0, 0.5, 0.5, 1.0], [0.5, 0.5, 1.0, 1.0, 0.0]]
+    assert abs(grounding_score(q, _SCENE, attention) - 1.0) < 1e-9
+    # all attention on the wrong object -> zero overlap with gold region
+    attention = [[0.0, 0.0, 0.5, 0.5, 0.0], [0.5, 0.5, 1.0, 1.0, 1.0]]
+    assert grounding_score(q, _SCENE, attention) == 0.0
+
+
+def test_grounding_spatial_grid():
+    from graphvqa_tpu.eval.scorer import grounding_score
+    q = _grounded_q("10")
+    # uniform 2x2 spatial map; gold region covers exactly cell (0, 0)
+    grid = [[0.25, 0.25], [0.25, 0.25]]
+    score = grounding_score(q, _SCENE, grid, object_features=False,
+                            map_size=2)
+    assert abs(score - 0.25) < 1e-9
+
+
+def test_grounding_whole_scene_region():
+    from graphvqa_tpu.eval.scorer import grounding_score
+    q = _grounded_q("10")
+    q["annotations"] = {"question": {}, "fullAnswer": {}}
+    q["semantic"] = [{"operation": "select", "argument": "scene"}]
+    attention = [[0.0, 0.0, 0.5, 0.5, 0.6], [0.5, 0.5, 1.0, 1.0, 0.4]]
+    # whole-image region -> every cell fully covered -> sum of attention
+    assert abs(grounding_score(q, _SCENE, attention) - 1.0) < 1e-9
+
+
+def test_grounding_in_score_predictions():
+    q = _grounded_q("10")
+    questions = {"1": q}
+    attentions = {"1": [[0.0, 0.0, 0.5, 0.5, 1.0]]}
+    scenes = {"1": _SCENE}
+    s = score_predictions(questions, {"1": "red"}, attentions=attentions,
+                          scenes=scenes)
+    assert s["grounding"] == 100.0
+    rep = format_report(s, grounding=True)
+    assert "Grounding: 100.00%" in rep

@@ -73,9 +73,11 @@ def test_eval_step_runs_and_dumps(tmp_path):
     eval_step = make_eval_step(model, cfg)
     _, label2ans = load_answer_maps()
     dump = tmp_path / "dump_results.json"
+    att_dump = tmp_path / "dump_attentions.json"
     res = validate(
         eval_step, state, ds.iter_batches(cfg.batch), jax.random.key(0),
-        cfg, text_vocab=text_vocab, label2ans=label2ans, dump_path=str(dump))
+        cfg, text_vocab=text_vocab, label2ans=label2ans, dump_path=str(dump),
+        dump_attentions_path=str(att_dump), scenes=ds.sg_data)
     assert 0.0 <= res["short_answer_acc"] <= 100.0
     d = json.loads(dump.read_text())
     assert len(d) == 7
@@ -84,6 +86,18 @@ def test_eval_step_runs_and_dumps(tmp_path):
     assert item["question"].startswith("What is on the white wall")
     assert isinstance(item["ground_truth_program_list"], list)
     assert item["ground_truth_program_list"][0] == "select ( wall )"
+
+    # object-based attentions: one entry per real question, rows are
+    # [x0, y0, x1, y1, att] with the per-graph softmax summing to 1
+    atts = json.loads(att_dump.read_text())
+    assert len(atts) == 7
+    by_qid = {a["questionId"]: a["attention"] for a in atts}
+    rows = by_qid["07333408"]
+    assert all(len(r) == 5 for r in rows)
+    total = sum(r[4] for r in rows)
+    np.testing.assert_allclose(total, 1.0, atol=1e-3)
+    for x0, y0, x1, y1, _ in rows:
+        assert 0.0 <= x0 <= x1 and 0.0 <= y0 <= y1
 
 
 def test_step_lr_schedule():
