@@ -8,10 +8,13 @@ pipeline_model_gat.py:317-445) is two-stage "hierarchical":
      <start> token's embedding is *replaced* by the matching instruction
      vector, and a causal-masked decoder predicts the program tokens.
 
-Greedy sampling re-runs the decoder at full static length each step (a
-`lax.fori_loop` over a fixed buffer — same O(T^2) math as the reference's
-Python loop at pipeline_model_gat.py:423-443, but a single compiled program
-with static shapes).
+Greedy sampling is a single compiled `lax.fori_loop` with **KV caching**:
+cross-attention K/V over the question memory are projected once per decode and
+self-attention K/V accumulate in static per-layer buffers, so each emitted
+token costs one decoder-layer stack pass over one position — versus the
+reference's Python loop that re-runs the full decoder stack at full length for
+every token (pipeline_model_gat.py:423-443). Same greedy outputs, O(T) instead
+of O(T^2) stack passes.
 """
 from __future__ import annotations
 
@@ -93,30 +96,41 @@ class ProgramDecoder(nn.Module):
         logits = self.vocab_decoder(out)               # [B*M, L, V]
         return logits, instr_mbd
 
+    def _embed_program_step(self, tokens: jax.Array, instr_flat: jax.Array,
+                            t) -> jax.Array:
+        """Embedding of one program position ``t`` (traced index); position 0
+        is the raw instruction vector (no positional encoding), matching
+        ``_embed_program``'s concat semantics."""
+        x = self.text_embed(tokens[:, None])            # [BM, 1, 300]
+        x = (self.emb_proj(x) * math.sqrt(self.hidden_dim))[:, 0, :]
+        x = x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :]
+        return jnp.where(jnp.equal(t, 0), instr_flat, x)
+
     def sample(
         self,
         memory: jax.Array,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Greedy decode to ``max_decode_len``; returns token buffer
+        """KV-cached greedy decode to ``max_decode_len``; returns token buffer
         [B*M, max_decode_len] (position 0 = <start>) and instruction vectors."""
         instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
             memory, deterministic)
         T = self.max_decode_len
         BM = instr_flat.shape[0]
         buf0 = jnp.full((BM, T), self.sos_idx, jnp.int32)
-        mask = causal_mask(T)
+        cache0 = self.fine_decoder.init_cache(BM, T)
+        cross_kvs = self.fine_decoder.precompute_cross_kv(memory_rep)
 
-        def step(t, buf):
-            x = self._embed_program(buf, instr_flat, deterministic)
-            out = self.fine_decoder(x, memory_rep, tgt_mask=mask,
-                                    deterministic=deterministic)
-            logits = self.vocab_decoder(out)           # [BM, T, V]
-            # position t-1 attends only to tokens < t -> next token
-            nxt = jnp.argmax(logits[:, t - 1, :], axis=-1).astype(jnp.int32)
-            return buf.at[:, t].set(nxt)
+        def step(t, carry):
+            buf, cache = carry
+            # feed position t-1 (tokens buf[:, t-1]) -> predict position t
+            x_t = self._embed_program_step(buf[:, t - 1], instr_flat, t - 1)
+            out, cache = self.fine_decoder.decode_step(
+                x_t, cache, cross_kvs, t - 1)
+            nxt = jnp.argmax(self.vocab_decoder(out), axis=-1).astype(jnp.int32)
+            return buf.at[:, t].set(nxt), cache
 
-        buf = jax.lax.fori_loop(1, T, step, buf0)
+        buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))
         return buf, instr_mbd
 
 
@@ -155,18 +169,25 @@ class FullAnswerDecoder(nn.Module):
                            deterministic=deterministic)
         return self.vocab_decoder(out)
 
+    def _embed_step(self, tokens: jax.Array, t) -> jax.Array:
+        x = self.text_embed(tokens[:, None])
+        x = (self.emb_proj(x) * math.sqrt(self.hidden_dim))[:, 0, :]
+        return x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :]
+
     def sample(self, memory, deterministic: bool = True) -> jax.Array:
+        """KV-cached greedy decode (see ProgramDecoder.sample)."""
         T = self.max_decode_len
         B = memory.shape[0]
         buf0 = jnp.full((B, T), self.sos_idx, jnp.int32)
-        mask = causal_mask(T)
+        cache0 = self.decoder.init_cache(B, T)
+        cross_kvs = self.decoder.precompute_cross_kv(memory)
 
-        def step(t, buf):
-            x = self._embed(buf, deterministic)
-            out = self.decoder(x, memory, tgt_mask=mask,
-                               deterministic=deterministic)
-            logits = self.vocab_decoder(out)
-            nxt = jnp.argmax(logits[:, t - 1, :], axis=-1).astype(jnp.int32)
-            return buf.at[:, t].set(nxt)
+        def step(t, carry):
+            buf, cache = carry
+            x_t = self._embed_step(buf[:, t - 1], t - 1)
+            out, cache = self.decoder.decode_step(x_t, cache, cross_kvs, t - 1)
+            nxt = jnp.argmax(self.vocab_decoder(out), axis=-1).astype(jnp.int32)
+            return buf.at[:, t].set(nxt), cache
 
-        return jax.lax.fori_loop(1, T, step, buf0)
+        buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))
+        return buf

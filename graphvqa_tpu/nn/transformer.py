@@ -64,13 +64,35 @@ class MultiheadAttention(nn.Module):
     """Torch-style MHA: packed in-proj, scaled dot product, out-proj.
 
     Attention-weight dropout matches torch's placement (after softmax).
+    Besides the full ``__call__``, exposes an incremental path for greedy
+    decoding: ``project_kv`` computes head-split key/value tensors once and
+    ``attend_step`` runs one query position against a (possibly growing)
+    key/value buffer — the KV-cache building block used by
+    ``TransformerDecoder.decode_step``.
     """
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        d = self.embed_dim
+        self.q_proj = TorchLinear(d, dtype=self.dtype, name="q_proj")
+        self.k_proj = TorchLinear(d, dtype=self.dtype, name="k_proj")
+        self.v_proj = TorchLinear(d, dtype=self.dtype, name="v_proj")
+        self.out_proj = TorchLinear(d, dtype=self.dtype, name="out_proj")
+        self.attn_drop = nn.Dropout(self.dropout)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.embed_dim % self.num_heads == 0
+        return self.embed_dim // self.num_heads
+
+    def _split(self, x):  # [B, L, D] -> [B, h, L, hd]
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, self.head_dim).transpose(
+            0, 2, 1, 3)
+
     def __call__(
         self,
         query: jax.Array,            # [B, Lq, D]
@@ -79,31 +101,50 @@ class MultiheadAttention(nn.Module):
         attn_mask: Optional[jax.Array] = None,  # [Lq, Lk] additive
         deterministic: bool = True,
     ) -> jax.Array:
-        d, h = self.embed_dim, self.num_heads
-        head_dim = d // h
-        assert head_dim * h == d
-
-        q = TorchLinear(d, dtype=self.dtype, name="q_proj")(query)
-        k = TorchLinear(d, dtype=self.dtype, name="k_proj")(key)
-        v = TorchLinear(d, dtype=self.dtype, name="v_proj")(value)
-
-        def split(x):  # [B, L, D] -> [B, h, L, hd]
-            b, l, _ = x.shape
-            return x.reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k,
-            preferred_element_type=jnp.float32) / math.sqrt(head_dim)
+            preferred_element_type=jnp.float32) / math.sqrt(self.head_dim)
         if attn_mask is not None:
             scores = scores + attn_mask[None, None, :, :]
         weights = jax.nn.softmax(scores, axis=-1)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         b, _, lq, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
-        return TorchLinear(d, dtype=self.dtype, name="out_proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.embed_dim)
+        return self.out_proj(out)
+
+    def project_kv(self, key: jax.Array, value: jax.Array):
+        """Head-split K/V for a fixed memory — compute once per decode."""
+        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+
+    def project_kv_step(self, x_t: jax.Array):
+        """K/V for one new token position. x_t: [B, D] -> ([B,h,hd], [B,h,hd])."""
+        b = x_t.shape[0]
+        shape = (b, self.num_heads, self.head_dim)
+        return (self.k_proj(x_t).reshape(shape), self.v_proj(x_t).reshape(shape))
+
+    def attend_step(
+        self,
+        q_t: jax.Array,                       # [B, D] single query position
+        k: jax.Array,                          # [B, h, Lk, hd]
+        v: jax.Array,                          # [B, h, Lk, hd]
+        key_mask: Optional[jax.Array] = None,  # [Lk] additive (0 / -inf)
+    ) -> jax.Array:
+        b = q_t.shape[0]
+        q = self.q_proj(q_t).reshape(b, self.num_heads, self.head_dim)
+        scores = jnp.einsum(
+            "bhd,bhkd->bhk", q, k,
+            preferred_element_type=jnp.float32) / math.sqrt(self.head_dim)
+        if key_mask is not None:
+            scores = scores + key_mask[None, None, :]
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhk,bhkd->bhd", weights.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return self.out_proj(out.reshape(b, self.embed_dim))
 
 
 class EncoderLayer(nn.Module):
@@ -135,24 +176,62 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
-        attn = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
-                                  self.dtype, name="self_attn")(
-            tgt, tgt, tgt, attn_mask=tgt_mask, deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
-        cross = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
-                                   self.dtype, name="cross_attn")(
-            tgt, memory, memory, deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout)(cross, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
-        ff = TorchLinear(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            self.d_model, self.num_heads, self.dropout, self.dtype,
+            name="self_attn")
+        self.cross_attn = MultiheadAttention(
+            self.d_model, self.num_heads, self.dropout, self.dtype,
+            name="cross_attn")
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.norm3 = nn.LayerNorm(name="norm3")
+        self.linear1 = TorchLinear(self.ffn_dim, dtype=self.dtype,
+                                   name="linear1")
+        self.linear2 = TorchLinear(self.d_model, dtype=self.dtype,
+                                   name="linear2")
+        self.drop = nn.Dropout(self.dropout)
+
+    def _ffn(self, x, deterministic):
+        ff = self.linear1(x)
         ff = nn.relu(ff)
-        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        tgt = tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(name="norm3")(tgt)
+        ff = self.drop(ff, deterministic=deterministic)
+        return self.linear2(ff)
+
+    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
+        attn = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
+                              deterministic=deterministic)
+        tgt = tgt + self.drop(attn, deterministic=deterministic)
+        tgt = self.norm1(tgt)
+        cross = self.cross_attn(tgt, memory, memory,
+                                deterministic=deterministic)
+        tgt = tgt + self.drop(cross, deterministic=deterministic)
+        tgt = self.norm2(tgt)
+        tgt = tgt + self.drop(self._ffn(tgt, deterministic),
+                              deterministic=deterministic)
+        return self.norm3(tgt)
+
+    def decode_step(self, x_t, self_kv, cross_kv, t, key_mask):
+        """One greedy-decode step for this layer.
+
+        x_t: [B, D] hidden at the newest position (index ``t``).
+        self_kv: (k, v) cache buffers [B, h, T, hd]; entry ``t`` is written
+        from ``x_t`` before attending. cross_kv: precomputed memory K/V.
+        key_mask: [T] additive mask hiding cache entries > ``t``.
+        Returns (y_t [B, D], updated self_kv). Deterministic (eval path).
+        """
+        k_buf, v_buf = self_kv
+        k_t, v_t = self.self_attn.project_kv_step(x_t)
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_t[:, :, None, :], t, axis=2)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_t[:, :, None, :], t, axis=2)
+        attn = self.self_attn.attend_step(x_t, k_buf, v_buf, key_mask)
+        x = self.norm1(x_t + attn)
+        cross = self.cross_attn.attend_step(x, *cross_kv)
+        x = self.norm2(x + cross)
+        x = x + self._ffn(x, deterministic=True)
+        return self.norm3(x), (k_buf, v_buf)
 
 
 class TransformerEncoder(nn.Module):
@@ -181,14 +260,51 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            DecoderLayer(self.d_model, self.num_heads, self.ffn_dim,
+                         self.dropout, self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        self.final_norm = nn.LayerNorm(name="final_norm")
+
     def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
         x = tgt
-        for i in range(self.num_layers):
-            x = DecoderLayer(self.d_model, self.num_heads, self.ffn_dim,
-                             self.dropout, self.dtype, name=f"layer_{i}")(
-                x, memory, tgt_mask=tgt_mask, deterministic=deterministic)
-        return nn.LayerNorm(name="final_norm")(x)
+        for layer in self.layers:
+            x = layer(x, memory, tgt_mask=tgt_mask,
+                      deterministic=deterministic)
+        return self.final_norm(x)
+
+    # -- incremental (KV-cached) greedy-decode path ------------------------
+    # The reference's greedy loop re-runs the whole decoder stack per emitted
+    # token (pipeline_model_gat.py:423-443). The TPU-shaped replacement is a
+    # compiled loop over decode_step: cross-attention K/V are projected once
+    # per decode, self-attention K/V accumulate in per-layer static buffers.
+
+    def init_cache(self, batch: int, max_len: int):
+        """Zeroed per-layer self-attention K/V buffers [B, h, T, hd]."""
+        h = self.num_heads
+        hd = self.d_model // h
+        shape = (batch, h, max_len, hd)
+        zero = jnp.zeros(shape, self.dtype)
+        return tuple((zero, zero) for _ in range(self.num_layers))
+
+    def precompute_cross_kv(self, memory: jax.Array):
+        """Per-layer head-split memory K/V, computed once per decode."""
+        return tuple(layer.cross_attn.project_kv(memory, memory)
+                     for layer in self.layers)
+
+    def decode_step(self, x_t, cache, cross_kvs, t):
+        """Run one position through all layers. x_t: [B, D] embedding at
+        position ``t``. Returns (normed output [B, D], updated cache)."""
+        max_len = cache[0][0].shape[2]
+        key_mask = jnp.where(jnp.arange(max_len) <= t, 0.0, -jnp.inf
+                             ).astype(self.dtype)
+        new_cache = []
+        for layer, self_kv, cross_kv in zip(self.layers, cache, cross_kvs):
+            x_t, self_kv = layer.decode_step(x_t, self_kv, cross_kv, t,
+                                             key_mask)
+            new_cache.append(self_kv)
+        return self.final_norm(x_t), tuple(new_cache)
 
 
 class PositionalEncoding(nn.Module):
