@@ -44,13 +44,38 @@ def get_args_parser():
     p.add_argument("--print-freq", default=100, type=int)
     p.add_argument("--resume", default="", help="checkpoint dir to resume from")
     p.add_argument("--evaluate", action="store_true")
+    p.add_argument("--evaluate-sets", "--evaluate_sets", default=None,
+                   nargs="+", dest="evaluate_sets",
+                   help="evaluate these splits (mainExplain_gat.py:99 "
+                        "--evaluate_sets); implies --evaluate")
+    p.add_argument("--fast-validate", default=0, type=int, metavar="N",
+                   help="FAST_VALIDATE: stop validation after N batches "
+                        "(mainExplain_gat.py:675); 0 = full validation")
+    p.add_argument("--validate-every", default=5, type=int,
+                   help="validate every N epochs (mainExplain_gat.py:359)")
     p.add_argument("--dump-result", action="store_true")
     p.add_argument("--dump-attentions", action="store_true",
                    help="also dump object-based attention maps for the "
                         "official grounding metric (eval.py:82,160-165)")
+    p.add_argument("--glove", default="",
+                   help="GloVe file (.txt glove.6B.300d format, or a cached "
+                        ".npy matrix) injected into the shared text embedding "
+                        "at init (pipeline_model_gat.py:633-634)")
+    p.add_argument("--glove-sg", action="store_true",
+                   help="also inject GloVe into the scene-graph embedding "
+                        "(the reference builds SG vectors too, "
+                        "gqa_dataset_entry.py:162, but its model-side copy is "
+                        "commented out, pipeline_model_gat.py:563)")
     p.add_argument("--seed", default=1234, type=int)
     p.add_argument("--output_dir", "--output-dir", default="./outputdir",
                    dest="output_dir")
+    p.add_argument("--layout", default="dense",
+                   choices=["dense", "blocked", "flat"],
+                   help="graph aggregation layout (see BatchConfig.layout)")
+    p.add_argument("--nodes-per-graph", default=64, type=int,
+                   help="dense layout: uniform per-graph node padding")
+    p.add_argument("--edges-per-graph", default=256, type=int,
+                   help="dense layout: uniform per-graph edge padding")
     p.add_argument("--nodes-pad", default=8192, type=int)
     p.add_argument("--edges-pad", default=65536, type=int)
     p.add_argument("--question-len", default=32, type=int)
@@ -59,8 +84,44 @@ def get_args_parser():
     p.add_argument("--data-parallel", default=1, type=int,
                    help="number of data shards (devices) for DP training")
     p.add_argument("--use-execution-engine", action="store_true")
-    p.add_argument("--blocked-layout", action="store_true", default=True)
     return p
+
+
+def _load_glove(args, text_vocab, sg_vocab, out_dir):
+    """Resolve --glove into (text_matrix, sg_matrix) .npy artifacts.
+
+    A .txt GloVe file is scanned once per vocab and the matrices are cached
+    next to the checkpoints; rows missing from GloVe stay zero (torchtext
+    behavior, gqa_dataset_entry.py:394-398)."""
+    import numpy as np
+
+    from graphvqa_tpu.data.vocab import load_glove_matrix
+
+    if not args.glove:
+        return None, None
+    path = pathlib.Path(args.glove)
+    if path.suffix == ".npy":
+        text_mat = np.load(path)
+        sg_mat = None
+        if args.glove_sg:
+            sg_path = path.with_name(path.stem + "_sg.npy")
+            sg_mat = np.load(sg_path) if sg_path.exists() else None
+        return text_mat, sg_mat
+    cache = out_dir / "glove_text.npy"
+    if cache.exists():
+        text_mat = np.load(cache)
+    else:
+        text_mat = load_glove_matrix(text_vocab, path)
+        np.save(cache, text_mat)
+    sg_mat = None
+    if args.glove_sg:
+        sg_cache = out_dir / "glove_sg.npy"
+        if sg_cache.exists():
+            sg_mat = np.load(sg_cache)
+        else:
+            sg_mat = load_glove_matrix(sg_vocab, path)
+            np.save(sg_cache, sg_mat)
+    return text_mat, sg_mat
 
 
 def main(args):
@@ -127,12 +188,15 @@ def main(args):
             num_graphs=args.batch_size, nodes_pad=args.nodes_pad,
             edges_pad=args.edges_pad, question_len=args.question_len,
             program_len=args.program_len,
-            full_answer_len=args.full_answer_len),
+            full_answer_len=args.full_answer_len,
+            layout=args.layout, nodes_per_graph=args.nodes_per_graph,
+            edges_per_graph=args.edges_per_graph),
         train=dataclasses.replace(
             cfg.train, lr=args.lr, lr_drop=args.lr_drop,
             epochs=args.epochs, batch_size=args.batch_size,
             weight_decay=args.weight_decay, seed=args.seed,
-            print_freq=args.print_freq, output_dir=str(out_dir)),
+            print_freq=args.print_freq, output_dir=str(out_dir),
+            validate_every=args.validate_every),
     )
 
     model = PipelineModel(cfg.model)
@@ -153,6 +217,17 @@ def main(args):
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     print(f"number of params: {n_params}")
 
+    # GloVe injection into the shared text embedding (+ optional SG hook),
+    # matching pipeline_model_gat.py:633-634
+    text_glove, sg_glove = _load_glove(args, text_vocab, sg_vocab, out_dir)
+    if text_glove is not None or sg_glove is not None:
+        from graphvqa_tpu.models.pretrained import inject_pretrained_embeddings
+        variables = inject_pretrained_embeddings(
+            variables, text_matrix=text_glove, sg_matrix=sg_glove)
+        nz = 0 if text_glove is None else int((text_glove != 0).any(1).sum())
+        print(f"injected GloVe: {nz}/{len(text_vocab)} text rows non-zero"
+              + (", sg rows injected" if sg_glove is not None else ""))
+
     state = create_train_state(variables, lr=args.lr, lr_drop=args.lr_drop,
                                weight_decay=args.weight_decay)
     start_epoch = args.start_epoch
@@ -162,18 +237,34 @@ def main(args):
 
     eval_step = make_eval_step(model, cfg)
     rng = jax.random.key(args.seed + 3)
+    fast_validate = args.fast_validate or None
 
-    if args.evaluate:
-        res = validate(
-            eval_step, state, val_ds.iter_batches(cfg.batch), rng, cfg,
-            text_vocab=text_vocab, label2ans=label2ans,
-            dump_path=str(out_dir / "dump_results.json")
-            if args.dump_result else None,
-            print_freq=args.print_freq,
-            dump_attentions_path=str(out_dir / "dump_attentions.json")
-            if args.dump_attentions else None,
-            scenes=val_ds.sg_data if args.dump_attentions else None)
-        print(res)
+    # per-host input sharding (the DistributedSampler replacement,
+    # mainExplain_gat.py:197-198): each process packs its slice of the epoch
+    proc, nproc = jax.process_index(), jax.process_count()
+
+    if args.evaluate or args.evaluate_sets:
+        for split in (args.evaluate_sets or [args.val_split]):
+            ds = (val_ds if split == args.val_split else
+                  GQADataset(programs_path(split), scenes_path(split),
+                             text_vocab, sg_vocab))
+            suffix = "" if split == args.val_split else f"_{split}"
+            res = validate(
+                eval_step, state,
+                ds.iter_batches(cfg.batch, shard_index=proc,
+                                num_shards=nproc),
+                rng, cfg,
+                text_vocab=text_vocab, label2ans=label2ans,
+                dump_path=str(out_dir / f"dump_results{suffix}.json")
+                if args.dump_result else None,
+                print_freq=args.print_freq,
+                dump_attentions_path=str(
+                    out_dir / f"dump_attentions{suffix}.json")
+                if args.dump_attentions else None,
+                scenes=ds.sg_data if args.dump_attentions else None,
+                max_batches=fast_validate,
+                print_qualitative=True)
+            print(split, res)
         return
 
     train_ds = GQADataset(programs_path(args.split), scenes_path(args.split),
@@ -191,20 +282,29 @@ def main(args):
 
         def dp_batches(epoch):
             it = train_ds.iter_batches(cfg.batch, shuffle=True,
-                                       seed=args.seed + epoch, drop_last=True)
-            group = []
+                                       seed=args.seed + epoch, drop_last=True,
+                                       shard_index=proc, num_shards=nproc)
+            group, metas = [], []
             for m, b in it:
                 group.append(b)
+                metas.append(m)
                 if len(group) == args.data_parallel:
                     stacked = stack_shards(
                         [jax.tree.map(jnp.asarray, g) for g in group])
-                    yield m, jax.device_put(stacked, sharding)
-                    group = []
+                    # merge all shards' meta (ids/types concatenated in shard
+                    # order) so downstream consumers see the full step batch
+                    merged = {
+                        k: [x for m2 in metas for x in m2[k]]
+                        for k in metas[0] if isinstance(metas[0][k], list)}
+                    merged["real_count"] = sum(
+                        m2["real_count"] for m2 in metas)
+                    yield merged, jax.device_put(stacked, sharding)
+                    group, metas = [], []
 
         train_step = dp_step
         batches_fn = dp_batches
-        steps_per_epoch = len(train_ds) // (args.batch_size
-                                            * args.data_parallel)
+        steps_per_epoch = len(train_ds) // nproc // (args.batch_size
+                                                     * args.data_parallel)
     else:
         train_step = make_train_step(model, cfg)
 
@@ -212,8 +312,8 @@ def main(args):
             return ((m, jax.tree.map(jnp.asarray, b))
                     for m, b in train_ds.iter_batches(
                         cfg.batch, shuffle=True, seed=args.seed + epoch,
-                        drop_last=True))
-        steps_per_epoch = len(train_ds) // args.batch_size
+                        drop_last=True, shard_index=proc, num_shards=nproc))
+        steps_per_epoch = len(train_ds) // nproc // args.batch_size
 
     for epoch in range(start_epoch, args.epochs):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -222,11 +322,21 @@ def main(args):
                                 rng, epoch,
                                 print_freq=args.print_freq,
                                 num_batches=steps_per_epoch)
-        if (epoch + 1) % 5 == 0:
-            validate(eval_step, state, val_ds.iter_batches(cfg.batch), rng,
-                     cfg, print_freq=args.print_freq)
+        if (epoch + 1) % args.validate_every == 0:
+            validate(eval_step, state,
+                     val_ds.iter_batches(cfg.batch, shard_index=proc,
+                                         num_shards=nproc),
+                     rng, cfg, text_vocab=text_vocab, label2ans=label2ans,
+                     print_freq=args.print_freq, max_batches=fast_validate,
+                     print_qualitative=True)
         if jax.process_index() == 0:
             save_checkpoint(out_dir / "ckpt", state)
+            # archival copies at the lr-drop and 100-epoch marks
+            # (mainExplain_gat.py:371-384)
+            if (epoch + 1) % args.lr_drop == 0:
+                save_checkpoint(out_dir / f"ckpt{epoch:04d}_lrdrop", state)
+            elif (epoch + 1) % 100 == 0:
+                save_checkpoint(out_dir / f"ckpt{epoch:04d}", state)
 
 
 if __name__ == "__main__":

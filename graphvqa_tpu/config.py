@@ -95,13 +95,21 @@ class BatchConfig:
     nodes_pad, edges_pad) buckets so every jit trace has static shapes.
     """
     num_graphs: int = 32
-    nodes_pad: int = 1024           # total nodes across the batch, padded
+    nodes_pad: int = 1024           # total nodes across the batch, padded (flat/blocked layouts)
     edges_pad: int = 4096           # total edges across the batch, dst-sorted + padded
     question_len: int = 32
     program_len: int = 16
     full_answer_len: int = 20
-    # blocked (ELL+spill) aggregation layout (core/packing.py:build_blocked_edges)
-    use_blocked_layout: bool = True
+    # Aggregation layout:
+    #   dense   — uniform per-graph node padding, batched MXU matmuls
+    #             (core/packing.py:pack_graphs_dense + ops/dense.py); the
+    #             production path. Falls back to flat for a batch whose
+    #             largest graph exceeds nodes_per_graph.
+    #   blocked — ELL+spill one-hot contraction (core/packing.py:build_blocked_edges)
+    #   flat    — dst-sorted edge list + XLA segment ops (the oracle path)
+    layout: str = "dense"
+    nodes_per_graph: int = 64
+    edges_per_graph: int = 256
     block_nodes: int = 16
     slots_per_node: int = 16
 

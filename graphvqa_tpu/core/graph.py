@@ -80,9 +80,43 @@ class GraphBatch:
     # fused Pallas round requires has_spill=False (softmax completeness)
     has_spill: bool = struct.field(pytree_node=False, default=True)
 
+    # Fully-uniform dense per-graph layout (core/packing.py:pack_graphs_dense):
+    # every graph is padded to exactly ``nodes_per_graph`` node rows AND
+    # ``edges_per_graph`` edge rows, so graph g owns node rows
+    # [g*npg, (g+1)*npg) and edge rows [g*epg, (g+1)*epg);
+    # nodes_pad == B*npg, edges_pad == B*epg. Flat [N, ...]/[E, ...] arrays
+    # reshape to dense [B, npg, ...]/[B, epg, ...] for free, which turns every
+    # segment reduction / segment softmax / SpMM into batched dense
+    # contractions against one-hot incidence matrices on the MXU
+    # (ops/dense.py) — the TPU-native replacement for torch_scatter (K1/K3/K4).
+    # 0 (default) means the layout is the ordinary concatenated one.
+    nodes_per_graph: int = struct.field(pytree_node=False, default=0)
+    edges_per_graph: int = struct.field(pytree_node=False, default=0)
+
+    # Edge-partitioned execution (graph-domain context parallelism, SURVEY §5):
+    # when set (inside shard_map), this GraphBatch's edge arrays hold only the
+    # local shard of every graph's edge slots, and ``edge_axis`` names the mesh
+    # axis across which ops/dense.py completes destination reductions with
+    # pmax/psum (the two-pass cross-partition softmax). Node arrays stay
+    # replicated across the axis.
+    edge_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+
     @property
     def has_blocked_layout(self) -> bool:
         return self.blk_src is not None
+
+    @property
+    def has_dense_layout(self) -> bool:
+        return self.nodes_per_graph > 0 and self.edges_per_graph > 0
+
+    def edge_dense_indices(self):
+        """(graph, dst_local, src_local) per edge for the dense layout.
+
+        Requires ``has_dense_layout``. Padded edges land on a padding slot of
+        their own graph; their contributions must be masked upstream.
+        """
+        npg = self.nodes_per_graph
+        return self.edge_dst // npg, self.edge_dst % npg, self.edge_src % npg
 
     @property
     def nodes_pad(self) -> int:

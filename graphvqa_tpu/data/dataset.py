@@ -163,16 +163,30 @@ def collate_qa(
     """
     from graphvqa_tpu.core.native import (
         build_blocked_edges_native, pack_graphs_native)
-    graphs = pack_graphs_native(
-        [it["graph"] for it in items],
-        nodes_pad=batch_cfg.nodes_pad,
-        edges_pad=batch_cfg.edges_pad,
-        max_steps=max_steps,
-    )
-    if batch_cfg.use_blocked_layout:
-        graphs = build_blocked_edges_native(
-            graphs, block_nodes=batch_cfg.block_nodes,
-            slots_per_node=batch_cfg.slots_per_node)
+    from graphvqa_tpu.core.packing import pack_graphs_dense
+    graph_samples = [it["graph"] for it in items]
+    max_n = max(g.num_nodes for g in graph_samples)
+    max_e = max(g.num_edges for g in graph_samples)
+    if (batch_cfg.layout == "dense"
+            and max_n <= batch_cfg.nodes_per_graph
+            and max_e <= batch_cfg.edges_per_graph):
+        graphs = pack_graphs_dense(
+            graph_samples, batch_cfg.nodes_per_graph,
+            batch_cfg.edges_per_graph, max_steps=max_steps,
+            num_graphs=batch_cfg.num_graphs)
+    else:
+        # flat fallback (also: a rare batch whose largest graph overflows the
+        # dense per-graph padding compiles the flat trace instead)
+        graphs = pack_graphs_native(
+            graph_samples,
+            nodes_pad=batch_cfg.nodes_pad,
+            edges_pad=batch_cfg.edges_pad,
+            max_steps=max_steps,
+        )
+        if batch_cfg.layout == "blocked":
+            graphs = build_blocked_edges_native(
+                graphs, block_nodes=batch_cfg.block_nodes,
+                slots_per_node=batch_cfg.slots_per_node)
     questions = np.stack([
         text_vocab.encode(it["question_tokens"], batch_cfg.question_len)
         for it in items])

@@ -112,13 +112,20 @@ class ProgramDecoder(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         """KV-cached greedy decode to ``max_decode_len``; returns token buffer
-        [B*M, max_decode_len] (position 0 = <start>) and instruction vectors."""
+        [B*M, max_decode_len] (position 0 = <start>) and instruction vectors.
+
+        Eval-only: the KV-cached step path applies no dropout, so a
+        non-deterministic call would half-apply dropout (coarse stage only) —
+        fail loudly instead."""
+        assert deterministic, "sample() is eval-only (KV cache has no dropout)"
         instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
             memory, deterministic)
         T = self.max_decode_len
         BM = instr_flat.shape[0]
         buf0 = jnp.full((BM, T), self.sos_idx, jnp.int32)
-        cache0 = self.fine_decoder.init_cache(BM, T)
+        # the loop writes cache positions 0..T-2 only (step t reads/writes
+        # position t-1), so T-1 slots suffice
+        cache0 = self.fine_decoder.init_cache(BM, T - 1)
         cross_kvs = self.fine_decoder.precompute_cross_kv(memory_rep)
 
         def step(t, carry):
@@ -175,11 +182,12 @@ class FullAnswerDecoder(nn.Module):
         return x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :]
 
     def sample(self, memory, deterministic: bool = True) -> jax.Array:
-        """KV-cached greedy decode (see ProgramDecoder.sample)."""
+        """KV-cached greedy decode (see ProgramDecoder.sample). Eval-only."""
+        assert deterministic, "sample() is eval-only (KV cache has no dropout)"
         T = self.max_decode_len
         B = memory.shape[0]
         buf0 = jnp.full((B, T), self.sos_idx, jnp.int32)
-        cache0 = self.decoder.init_cache(B, T)
+        cache0 = self.decoder.init_cache(B, T - 1)
         cross_kvs = self.decoder.precompute_cross_kv(memory)
 
         def step(t, carry):

@@ -23,7 +23,7 @@ from graphvqa_tpu.nn.embedding import PaddedEmbed
 from graphvqa_tpu.nn.gnn import SceneGraphMetaLayer
 from graphvqa_tpu.nn.transformer import (
     PositionalEncoding, TorchLinear, TransformerEncoder)
-from graphvqa_tpu.ops import graph_layer_norm
+from graphvqa_tpu.ops.layernorm import graph_layer_norm_any
 
 
 class SceneGraphEncoder(nn.Module):
@@ -53,8 +53,7 @@ class SceneGraphEncoder(nn.Module):
 
         ln_w = self.param("ln_weight", nn.initializers.ones, (1,))
         ln_b = self.param("ln_bias", nn.initializers.zeros, (1,))
-        x_enc = graph_layer_norm(x_enc, graph.node_graph, graph.num_graphs,
-                                 ln_w, ln_b, node_mask=graph.node_mask)
+        x_enc = graph_layer_norm_any(graph, x_enc, ln_w, ln_b)
         return x_enc, e_enc
 
 

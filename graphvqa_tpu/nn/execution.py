@@ -19,8 +19,8 @@ from flax import linen as nn
 
 from graphvqa_tpu.core.graph import GraphBatch
 from graphvqa_tpu.nn.gnn import MLP2
-from graphvqa_tpu.ops import (
-    graph_layer_norm, scatter_edges_to_nodes, segment_softmax, segment_sum)
+from graphvqa_tpu.ops import segment_softmax, segment_sum
+from graphvqa_tpu.ops.layernorm import graph_layer_norm_any
 
 
 class RecurrentExecutionEngine(nn.Module):
@@ -67,16 +67,20 @@ class RecurrentExecutionEngine(nn.Module):
             upd_in = jnp.concatenate(
                 [x, aggr, jnp.take(u_pad, graph.node_graph, axis=0)], axis=-1)
             x_out = node_mlp_2(upd_in) + x
-            x_out = graph_layer_norm(
-                x_out, graph.node_graph, B, ln_w, ln_b,
-                node_mask=graph.node_mask)
+            x_out = graph_layer_norm_any(graph, x_out, ln_w, ln_b)
 
             # bitmap predictor (pipeline_model_gat.py:270-286)
             gate = gate_mlp(x_out)                               # [N, 1]
-            gate = segment_softmax(gate, graph.node_graph, B + 1,
-                                   mask=graph.node_mask)
-            history = segment_sum(gate * x_out, graph.node_graph, B + 1,
-                                  mask=graph.node_mask)[:B]
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import (
+                    dense_node_softmax, dense_segment_sum_nodes)
+                gate = dense_node_softmax(graph, gate)
+                history = dense_segment_sum_nodes(graph, gate * x_out)
+            else:
+                gate = segment_softmax(gate, graph.node_graph, B + 1,
+                                       mask=graph.node_mask)
+                history = segment_sum(gate * x_out, graph.node_graph, B + 1,
+                                      mask=graph.node_mask)[:B]
             bitmap_cols.append(gate)
             history_list.append(history)
 

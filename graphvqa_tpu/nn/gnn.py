@@ -137,7 +137,8 @@ class GATLayer(nn.Module):
         edge_attr: jax.Array,               # [E, e_c]
         ins: Optional[jax.Array] = None,    # [B, ins_dim] per-graph vectors
         deterministic: bool = True,
-    ) -> jax.Array:
+        return_alpha: bool = False,
+    ):
         H, C = self.heads, self.out_channels
         N = graph.nodes_pad
         ins_dim = 0 if ins is None else ins.shape[-1]
@@ -178,13 +179,25 @@ class GATLayer(nn.Module):
         alpha_e = alpha_e.astype(dt)
 
         apply_dropout = self.dropout > 0.0 and not deterministic
-        if graph.has_blocked_layout:
+        alpha_out = None
+        if graph.has_dense_layout:
+            # MXU path: batched per-graph dense matmul (ops/dense.py)
+            from graphvqa_tpu.ops.dense import dense_gat_aggregate
+            drop_rng = self.make_rng("dropout") if apply_dropout else None
+            out3, alpha_out = dense_gat_aggregate(
+                graph, xw, alpha_l, alpha_r, alpha_e,
+                negative_slope=self.negative_slope,
+                return_alpha=return_alpha,
+                dropout_rate=self.dropout if apply_dropout else 0.0,
+                dropout_rng=drop_rng)
+        elif graph.has_blocked_layout:
             # MXU path: dense one-hot contraction per node block (ops/blocked.py)
             from graphvqa_tpu.ops.blocked import blocked_gat_aggregate
             drop_rng = self.make_rng("dropout") if apply_dropout else None
-            out3, _ = blocked_gat_aggregate(
+            out3, alpha_out = blocked_gat_aggregate(
                 graph, xw, alpha_l, alpha_r, alpha_e,
                 negative_slope=self.negative_slope,
+                return_alpha=return_alpha,
                 dropout_rate=self.dropout if apply_dropout else 0.0,
                 dropout_rng=drop_rng)
         else:
@@ -200,8 +213,12 @@ class GATLayer(nn.Module):
             msgs = jnp.take(xw, graph.edge_src, axis=0) * alpha[..., None]
             out3 = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
                                           edge_mask=graph.edge_mask)
+            alpha_out = alpha if return_alpha else None
         out = out3.mean(axis=1) + bias   # concat=False: mean over heads
-        return jnp.where(graph.node_mask[:, None], out, 0.0)
+        out = jnp.where(graph.node_mask[:, None], out, 0.0)
+        if return_alpha:
+            return out, alpha_out
+        return out
 
 
 class GATSeq(nn.Module):
@@ -223,13 +240,22 @@ class GATSeq(nn.Module):
         instr_vectors: jax.Array,   # [num_rounds, B, ins_dim]
         deterministic: bool = True,
         use_running_average: bool = False,
-    ) -> jax.Array:
+        return_alpha: bool = False,
+    ):
+        """When ``return_alpha`` is set, also returns the per-round per-edge
+        attention weights [num_rounds, E, H] in flat edge order (the
+        reference's optional explainability output, gat_skip.py:170-177)."""
         h = x
+        alphas = []
         for i in range(self.num_rounds):
             ins = instr_vectors[i]                          # [B, ins_dim]
             conv = GATLayer(self.out_channels, self.heads, self.negative_slope,
                             self.dropout, self.dtype, name=f"conv_{i}")(
-                graph, h, edge_attr, ins=ins, deterministic=deterministic)
+                graph, h, edge_attr, ins=ins, deterministic=deterministic,
+                return_alpha=return_alpha)
+            if return_alpha:
+                conv, alpha = conv
+                alphas.append(alpha)
             h = conv + h  # skip connection (gat_skip.py:270)
 
             if i != self.num_rounds - 1:
@@ -239,6 +265,9 @@ class GATSeq(nn.Module):
                     use_running_average=use_running_average)
                 h = nn.relu(h)
                 h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if return_alpha:
+            stacked = (jnp.stack(alphas) if alphas[0] is not None else None)
+            return h, stacked
         return h
 
 
@@ -273,8 +302,12 @@ class GCNSeq(nn.Module):
         N = graph.nodes_pad
         # in-degree over real edges + 1 for the GCNConv-added self-loop
         ones = graph.edge_mask.astype(jnp.float32)
-        deg = jax.ops.segment_sum(ones, graph.edge_dst, num_segments=N,
-                                  indices_are_sorted=True) + 1.0
+        if graph.has_dense_layout:
+            from graphvqa_tpu.ops.dense import dense_aggregate_edges
+            deg = dense_aggregate_edges(graph, ones[:, None])[:, 0] + 1.0
+        else:
+            deg = jax.ops.segment_sum(ones, graph.edge_dst, num_segments=N,
+                                      indices_are_sorted=True) + 1.0
         dinv = jax.lax.rsqrt(deg)
         edge_norm = (jnp.take(dinv, graph.edge_src, axis=0)
                      * jnp.take(dinv, graph.edge_dst, axis=0))
@@ -290,9 +323,16 @@ class GCNSeq(nn.Module):
 
             xw = GlorotLinear(self.out_channels, dtype=self.dtype,
                               name=f"conv_{i}_weight")(x_cat)
-            from graphvqa_tpu.ops.blocked import aggregate_edge_values
-            msgs = jnp.take(xw, graph.edge_src, axis=0) * edge_norm[:, None]
-            aggr = aggregate_edge_values(graph, msgs)
+            if graph.has_dense_layout:
+                # message is linear in edge_norm -> dense MXU SpMM
+                from graphvqa_tpu.ops.dense import dense_scatter_matmul
+                w_edge = jnp.where(graph.edge_mask, edge_norm, 0.0)[:, None]
+                aggr = dense_scatter_matmul(
+                    graph, w_edge, xw[:, None, :])[:, 0, :]
+            else:
+                from graphvqa_tpu.ops.blocked import aggregate_edge_values
+                msgs = jnp.take(xw, graph.edge_src, axis=0) * edge_norm[:, None]
+                aggr = aggregate_edge_values(graph, msgs)
             conv_res = aggr + xw * self_norm[:, None]
             conv_res = conv_res + self.param(
                 f"conv_{i}_bias", nn.initializers.zeros, (self.out_channels,))
@@ -401,16 +441,29 @@ class LCGNCell(nn.Module):
         logits = (jnp.take(x_l, graph.edge_src, axis=0)
                   * jnp.take(x_mul, graph.edge_dst, axis=0)).sum(-1)  # [E, H]
         logits = nn.leaky_relu(logits, self.negative_slope)
-        alpha = segment_softmax(logits, graph.edge_dst, N,
-                                mask=graph.edge_mask, indices_are_sorted=True)
+        if graph.has_dense_layout:
+            from graphvqa_tpu.ops.dense import dense_segment_softmax
+            alpha = dense_segment_softmax(graph, logits)
+        else:
+            alpha = segment_softmax(logits, graph.edge_dst, N,
+                                    mask=graph.edge_mask,
+                                    indices_are_sorted=True)
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
 
         x_val = GlorotLinear(H * C, name="cal_x")(x_joint).reshape(N, H, C)
-        msgs = (jnp.take(x_val, graph.edge_src, axis=0)
-                * jnp.take(cal_cmd, graph.edge_src, axis=0)) * alpha[..., None]
-        from graphvqa_tpu.ops.blocked import aggregate_edge_values
-        out = aggregate_edge_values(graph, msgs.reshape(msgs.shape[0], H * C))
-        out = out.reshape(N, H, C).mean(axis=1)  # concat=False
+        if graph.has_dense_layout:
+            # message = alpha * (cal_x * cal_cmd)[src]: linear in alpha ->
+            # dense MXU SpMM over the per-graph blocks
+            from graphvqa_tpu.ops.dense import dense_scatter_matmul
+            out = dense_scatter_matmul(graph, alpha, x_val * cal_cmd)
+            out = out.mean(axis=1)  # concat=False
+        else:
+            msgs = (jnp.take(x_val, graph.edge_src, axis=0)
+                    * jnp.take(cal_cmd, graph.edge_src, axis=0)) * alpha[..., None]
+            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            out = aggregate_edge_values(
+                graph, msgs.reshape(msgs.shape[0], H * C))
+            out = out.reshape(N, H, C).mean(axis=1)  # concat=False
         out = out + self.param("bias", nn.initializers.zeros, (C,))
         return jnp.where(graph.node_mask[:, None], out, 0.0)
 

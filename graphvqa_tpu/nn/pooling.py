@@ -38,6 +38,16 @@ class ConditionalGlobalAttention(nn.Module):
 
         x = MLP2(D, D, self.dtype, name="node_nn")(x)
         uq = MLP2(D, D, self.dtype, name="ques_nn")(u)        # [B, D]
+        if graph.has_dense_layout:
+            from graphvqa_tpu.ops.dense import (
+                dense_node_softmax, dense_segment_sum_nodes)
+            npg = graph.nodes_per_graph
+            u_per_node = jnp.broadcast_to(
+                uq[:, None, :], (B, npg, D)).reshape(B * npg, D)
+            gate = MLP2(D, 1, self.dtype, name="gate_nn")(u_per_node * x)
+            gate = dense_node_softmax(graph, gate)
+            out = dense_segment_sum_nodes(graph, gate * x)
+            return out, gate
         uq_pad = jnp.concatenate(
             [uq, jnp.zeros((1, D), uq.dtype)], axis=0)
         u_per_node = jnp.take(uq_pad, graph.node_graph, axis=0)

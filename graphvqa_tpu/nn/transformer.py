@@ -61,7 +61,10 @@ def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
 
 
 class MultiheadAttention(nn.Module):
-    """Torch-style MHA: packed in-proj, scaled dot product, out-proj.
+    """Torch-style MHA: separate q/k/v projections, scaled dot product,
+    out-proj. (Torch packs the three into one ``in_proj_weight`` [3D, D];
+    a torch-checkpoint converter must split that tensor into q/k/v thirds,
+    in that order, to populate these params.)
 
     Attention-weight dropout matches torch's placement (after softmax).
     Besides the full ``__call__``, exposes an incremental path for greedy

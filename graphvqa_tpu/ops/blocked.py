@@ -95,9 +95,12 @@ def aggregate_edge_values(
     reduce: str = "sum",
 ) -> jax.Array:
     """Layout-dispatching replacement for ``scatter_edges_to_nodes``: uses the
-    MXU blocked path when the batch carries it, else the XLA segment path.
-    Returns [nodes_pad, D]."""
+    MXU dense/blocked paths when the batch carries them, else the XLA segment
+    path. Returns [nodes_pad, D]."""
     from graphvqa_tpu.ops.segment import scatter_edges_to_nodes
+    if graph.has_dense_layout:
+        from graphvqa_tpu.ops.dense import dense_aggregate_edges
+        return dense_aggregate_edges(graph, edge_values, reduce=reduce)
     if not graph.has_blocked_layout:
         return scatter_edges_to_nodes(
             edge_values, graph.edge_dst, graph.nodes_pad,

@@ -1,0 +1,291 @@
+"""Dense per-graph message aggregation — the MXU hot path.
+
+GQA scene graphs are tiny (~17 nodes / ~100 edges mean), so with **fully
+uniform per-graph padding** (:func:`graphvqa_tpu.core.packing.pack_graphs_dense`:
+graph g owns node rows [g*npg, (g+1)*npg) and edge rows [g*epg, (g+1)*epg)),
+every segment primitive the reference imports from CUDA (SURVEY.md K1/K3/K4 —
+torch_scatter reductions, torch_geometric segment softmax, the
+``MessagePassing.propagate`` gather/scatter) becomes a **batched dense
+contraction against one-hot incidence matrices**:
+
+    oh_dst[b, e, i] = 1 iff edge e of graph b points at local node i
+    sum-per-destination:   out[b, i] = einsum('bei,bed->bid', oh_dst, msgs)
+    softmax denominator:   den[b, i] = einsum('bei,beh->bih', oh_dst, exp)
+    per-edge re-broadcast: y[b, e]   = einsum('bei,bih->beh', oh_dst, den)
+
+All of it runs on the MXU at matmul speed. Measured on TPU v5e
+(tools/bench_dense_attribution.py): the XLA scatter this replaces costs
+~40 ns/edge-row (5.4 ms for 131k edges) — two orders of magnitude over the
+one-hot contraction — because TPU scatters serialize row updates.
+
+The one-hot operands are built on device from the index arrays (an iota
+compare — no host memory or H2D traffic) and XLA materializes them once per
+round.
+
+Attention softmax semantics stay exact: logits and the per-destination
+max/denominator follow torch_geometric.utils.softmax (+1e-16), and parallel
+edges between the same (src, dst) pair keep their individual pre-softmax
+nonlinearity — they are only merged *after* normalization, where the merge is
+exact because messages are linear in the per-edge weight.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphvqa_tpu.core.graph import GraphBatch
+
+_NEG_INF = -1e30
+_SOFTMAX_EPS = 1e-16  # torch_geometric.utils.softmax denominator
+
+
+def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
+    B, npg, epg = graph.num_graphs, graph.nodes_per_graph, graph.edges_per_graph
+    assert npg > 0 and epg > 0, "dense ops need the fully-uniform layout"
+    return B, npg, epg
+
+
+def onehot_dst(graph: GraphBatch, dtype=jnp.float32) -> jax.Array:
+    """[B, epg, npg] one-hot destination incidence (masked)."""
+    B, npg, epg = _dense_shapes(graph)
+    dl = (graph.edge_dst % npg).reshape(B, epg)
+    sel = dl[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, npg), 2)
+    sel = sel & graph.edge_mask.reshape(B, epg)[:, :, None]
+    return sel.astype(dtype)
+
+
+def onehot_src(graph: GraphBatch, dtype=jnp.float32) -> jax.Array:
+    """[B, epg, npg] one-hot source incidence (masked)."""
+    B, npg, epg = _dense_shapes(graph)
+    sl = (graph.edge_src % npg).reshape(B, epg)
+    sel = sl[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, npg), 2)
+    sel = sel & graph.edge_mask.reshape(B, epg)[:, :, None]
+    return sel.astype(dtype)
+
+
+def dense_aggregate_edges(
+    graph: GraphBatch,
+    edge_values: jax.Array,      # [E, D] flat per-edge values
+    reduce: str = "sum",
+    oh_dst: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Aggregate per-edge values into destination nodes -> [N, D].
+
+    The dense replacement for ``scatter_edges_to_nodes`` (K1/K4): one batched
+    [npg, epg] x [epg, D] contraction per graph instead of a serialized
+    scatter. Handles *any* per-edge message (MetaLayer, GINE, the execution
+    engine), not just src-factorizable ones.
+    """
+    B, npg, epg = _dense_shapes(graph)
+    D = edge_values.shape[-1]
+    oh = onehot_dst(graph, edge_values.dtype) if oh_dst is None else oh_dst
+    v = jnp.where(graph.edge_mask[:, None], edge_values, 0.0)
+    out = jnp.einsum("bei,bed->bid", oh, v.reshape(B, epg, D),
+                     preferred_element_type=jnp.float32)
+    if graph.edge_axis is not None:
+        out = jax.lax.psum(out, graph.edge_axis)
+    out = out.reshape(B * npg, D).astype(edge_values.dtype)
+    if reduce == "sum":
+        return out
+    if reduce == "mean":
+        ones = graph.edge_mask.reshape(B, epg, 1).astype(out.dtype)
+        counts = jnp.einsum("bei,bed->bid", oh, ones,
+                            preferred_element_type=jnp.float32)
+        if graph.edge_axis is not None:
+            counts = jax.lax.psum(counts, graph.edge_axis)
+        return out / jnp.maximum(counts.reshape(B * npg, 1), 1.0)
+    raise ValueError(f"unknown reduce: {reduce}")
+
+
+def dense_segment_softmax(
+    graph: GraphBatch,
+    logits: jax.Array,           # [E, H] flat per-edge logits
+    oh_dst: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Destination softmax over edges, scatter-free -> [E, H].
+
+    Exact semantics of torch_geometric.utils.softmax (K3): per-destination
+    max subtraction, exp, per-destination sum, divide (+1e-16); masked lanes
+    return 0. The max is a fused masked reduce over the one-hot expansion;
+    the sum and the per-edge re-broadcasts are batched matmuls.
+    """
+    B, npg, epg = _dense_shapes(graph)
+    H = logits.shape[-1]
+    oh = onehot_dst(graph, logits.dtype) if oh_dst is None else oh_dst
+    ohb = oh != 0
+    lg = jnp.where(graph.edge_mask[:, None], logits, _NEG_INF)
+    lg = lg.reshape(B, epg, H)
+
+    # per-destination max: masked reduce over the edge axis (XLA fuses the
+    # select into the reduction; nothing [B,epg,npg,H]-sized reaches HBM)
+    seg_max = jnp.max(
+        jnp.where(ohb[:, :, :, None], lg[:, :, None, :], _NEG_INF),
+        axis=1)                                          # [B, npg, H]
+    # the max only stabilizes the exp — softmax is invariant to it, so its
+    # gradient contributions cancel exactly; stop_gradient keeps that
+    # cancellation exact in fp AND makes the cross-partition pmax legal
+    # under AD (pmax has no differentiation rule)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    if graph.edge_axis is not None:
+        # cross-partition pass 1 of the two-pass softmax (ring-attention
+        # structure over the edge mesh axis)
+        seg_max = jax.lax.pmax(seg_max, graph.edge_axis)
+    seg_max = jnp.maximum(seg_max, _NEG_INF)
+
+    # re-broadcast per edge via the incidence matmul, then exp
+    max_e = jnp.einsum("bei,bih->beh", oh, seg_max,
+                       preferred_element_type=jnp.float32)   # [B, epg, H]
+    shifted = lg - max_e
+    mask3 = graph.edge_mask.reshape(B, epg)[:, :, None]
+    shifted = jnp.where(mask3, shifted, 0.0)
+    expd = jnp.where(mask3, jnp.exp(jnp.minimum(shifted, 0.0)), 0.0)
+
+    denom = jnp.einsum("bei,beh->bih", oh, expd,
+                       preferred_element_type=jnp.float32)   # [B, npg, H]
+    if graph.edge_axis is not None:
+        # cross-partition pass 2: global normalizer
+        denom = jax.lax.psum(denom, graph.edge_axis)
+    denom_e = jnp.einsum("bei,bih->beh", oh, denom,
+                         preferred_element_type=jnp.float32) + _SOFTMAX_EPS
+    alpha = expd / denom_e
+    alpha = jnp.where(mask3, alpha, 0.0)
+    return alpha.reshape(B * epg, H).astype(logits.dtype)
+
+
+def dense_scatter_matmul(
+    graph: GraphBatch,
+    edge_weights: jax.Array,     # [E, H] per-edge scalar weights per head
+    values: jax.Array,           # [N, H, C] per-source-node message content
+    oh_dst: Optional[jax.Array] = None,
+    oh_src: Optional[jax.Array] = None,
+) -> jax.Array:
+    """out[dst] = sum_{e: src->dst} edge_weights[e] * values[src]  -> [N, H, C].
+
+    The SpMM of K4 as two chained batched matmuls per head:
+        P_h = (oh_dst * w_h)^T @ oh_src          [B, npg, npg]
+        out_h = P_h @ values_h                   [B, npg, C]
+    Parallel (src, dst) edges accumulate in P — exact post-normalization.
+    """
+    N, H, C = values.shape
+    B, npg, epg = _dense_shapes(graph)
+    dt = values.dtype
+    ohd = onehot_dst(graph, dt) if oh_dst is None else oh_dst
+    ohs = onehot_src(graph, dt) if oh_src is None else oh_src
+    w = jnp.where(graph.edge_mask[:, None], edge_weights, 0.0)
+    w = w.reshape(B, epg, H)
+    v = values.reshape(B, npg, H, C)
+    outs = []
+    for h in range(H):
+        p = jnp.einsum("bei,bej->bij", ohd * w[:, :, h:h + 1], ohs,
+                       preferred_element_type=jnp.float32)   # [B, npg, npg]
+        if graph.edge_axis is not None:
+            # combine partial per-graph edge-weight matrices across edge
+            # shards (cheaper than psumming the [N, H, C] output)
+            p = jax.lax.psum(p, graph.edge_axis)
+        outs.append(jnp.einsum("bij,bjc->bic", p, v[:, :, h, :],
+                               preferred_element_type=jnp.float32))
+    out = jnp.stack(outs, axis=2)                            # [B, npg, H, C]
+    return out.reshape(N, H, C).astype(dt)
+
+
+def dense_gat_aggregate(
+    graph: GraphBatch,
+    xw: jax.Array,          # [N, H, C] projected node features
+    alpha_l: jax.Array,     # [N, H]
+    alpha_r: jax.Array,     # [N, H]
+    alpha_e: jax.Array,     # [E, H] per-edge scores (flat layout)
+    negative_slope: float = 0.2,
+    softmax_eps: float = 1e-16,
+    return_alpha: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Full GAT round on the uniform dense layout, scatter/gather-free.
+
+    SDDMM logits (gat_skip.py:180-208) come from incidence matmuls against
+    the per-node score vectors; softmax is :func:`dense_segment_softmax`;
+    aggregation is :func:`dense_scatter_matmul`. Bit-compatible with the flat
+    segment path up to fp reassociation of the destination sums.
+    """
+    del softmax_eps  # fixed to the torch_geometric 1e-16 in dense_segment_softmax
+    N, H, C = xw.shape
+    B, npg, epg = _dense_shapes(graph)
+    dt = xw.dtype
+    ohd = onehot_dst(graph, dt)
+    ohs = onehot_src(graph, dt)
+
+    al = jnp.einsum("bej,bjh->beh", ohs, alpha_l.reshape(B, npg, H),
+                    preferred_element_type=jnp.float32)
+    ar = jnp.einsum("bei,bih->beh", ohd, alpha_r.reshape(B, npg, H),
+                    preferred_element_type=jnp.float32)
+    logits = (al + ar).reshape(B * epg, H) + alpha_e
+    logits = jax.nn.leaky_relu(logits, negative_slope)
+
+    alpha = dense_segment_softmax(graph, logits, oh_dst=ohd)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        alpha = alpha * jax.random.bernoulli(
+            dropout_rng, keep, alpha.shape).astype(alpha.dtype) / keep
+    out = dense_scatter_matmul(graph, alpha, xw, oh_dst=ohd, oh_src=ohs)
+    return out, (alpha if return_alpha else None)
+
+
+def dense_node_softmax(graph: GraphBatch, values: jax.Array) -> jax.Array:
+    """Softmax over each graph's nodes (segment softmax over node_graph, K3)
+    as a masked dense softmax -> same shape as ``values`` [N, H].
+
+    Exact torch_geometric semantics: max-subtract, +1e-16 denominator, masked
+    rows -> 0. Used by the conditional pooling gate and the execution-bitmap
+    head on the dense layout.
+    """
+    B, npg, _ = _dense_shapes(graph)
+    H = values.shape[-1]
+    m3 = graph.node_mask.reshape(B, npg)[:, :, None]
+    v = jnp.where(m3, values.reshape(B, npg, H), _NEG_INF)
+    vmax = jnp.max(v, axis=1, keepdims=True)
+    vmax = jnp.maximum(vmax, _NEG_INF)
+    shifted = jnp.where(m3, v - vmax, 0.0)
+    expd = jnp.where(m3, jnp.exp(jnp.minimum(shifted, 0.0)), 0.0)
+    denom = expd.sum(axis=1, keepdims=True) + _SOFTMAX_EPS
+    out = jnp.where(m3, expd / denom, 0.0)
+    return out.reshape(B * npg, H).astype(values.dtype)
+
+
+def dense_graph_layer_norm(
+    graph: GraphBatch,
+    x: jax.Array,            # [N, C]
+    weight: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Per-graph LayerNorm over nodes x channels jointly on the dense layout
+    (reference: my_graph_layernorm.py:52-78; quirks as ops/layernorm.py:
+    scalar affine, eps on std, count clamped to 1)."""
+    B, npg, _ = _dense_shapes(graph)
+    C = x.shape[-1]
+    m = graph.node_mask.reshape(B, npg, 1).astype(x.dtype)
+    xd = x.reshape(B, npg, C) * m
+    norm = jnp.maximum(m.sum(axis=(1, 2), keepdims=True), 1.0) * C
+    mean = xd.sum(axis=(1, 2), keepdims=True) / norm
+    centered = (xd - mean) * m
+    var = (centered * centered).sum(axis=(1, 2), keepdims=True) / norm
+    safe_var = jnp.where(var > 0, var, 1.0)
+    std = jnp.where(var > 0, jnp.sqrt(safe_var), 0.0)
+    out = centered / (std + eps)
+    out = out * jnp.reshape(weight, ()) + jnp.reshape(bias, ())
+    out = out * m
+    return out.reshape(B * npg, C)
+
+
+def dense_segment_sum_nodes(graph: GraphBatch, values: jax.Array) -> jax.Array:
+    """Per-graph sum over nodes -> [num_graphs, ...] via a dense masked reduce
+    (the dense-layout replacement for segment_sum over node_graph, K1)."""
+    npg, B = graph.nodes_per_graph, graph.num_graphs
+    v = jnp.where(
+        graph.node_mask.reshape(values.shape[0],
+                                *([1] * (values.ndim - 1))), values, 0)
+    return v.reshape(B, npg, *values.shape[1:]).sum(axis=1)

@@ -25,6 +25,16 @@ import jax.numpy as jnp
 from graphvqa_tpu.ops.segment import segment_sum
 
 
+def graph_layer_norm_any(graph, x, weight, bias, eps: float = 1e-5):
+    """Layout-dispatching per-graph LayerNorm: dense masked reduce on the
+    uniform layout, segment path otherwise."""
+    if graph.has_dense_layout:
+        from graphvqa_tpu.ops.dense import dense_graph_layer_norm
+        return dense_graph_layer_norm(graph, x, weight, bias, eps)
+    return graph_layer_norm(x, graph.node_graph, graph.num_graphs,
+                            weight, bias, node_mask=graph.node_mask, eps=eps)
+
+
 def graph_layer_norm(
     x: jax.Array,
     node_graph: jax.Array,

@@ -4,9 +4,12 @@ from graphvqa_tpu.parallel.data_parallel import (
     make_dp_train_step, stack_shards, shard_batch_sharding)
 from graphvqa_tpu.parallel.edge_partition import (
     edge_partitioned_gat_attention, make_edge_partitioned_engine)
+from graphvqa_tpu.parallel.edge_sharded import (
+    make_dp_edge_train_step, prepare_dp_edge_batch, shard_edges_dense)
 
 __all__ = [
     "make_mesh", "all_gather_host", "psum_scalars",
     "make_dp_train_step", "stack_shards", "shard_batch_sharding",
     "edge_partitioned_gat_attention", "make_edge_partitioned_engine",
+    "make_dp_edge_train_step", "prepare_dp_edge_batch", "shard_edges_dense",
 ]

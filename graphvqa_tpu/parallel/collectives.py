@@ -22,11 +22,24 @@ def psum_scalars(metrics: Dict[str, jax.Array], axis_name: str) -> Dict[str, jax
 
 def all_gather_host(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every *process* (the
-    util/misc.py:88-128 equivalent). Single-process -> [obj]."""
+    util/misc.py:88-128 equivalent: pickle -> byte tensor -> size exchange ->
+    padded all-gather -> unpickle). Single-process -> [obj]."""
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([data.size], np.int64))         # [P, 1]
+    max_n = int(sizes.max())
+    padded = np.zeros((max_n,), np.uint8)
+    padded[: data.size] = data
+    gathered = multihost_utils.process_allgather(padded)   # [P, max_n]
+    return [pickle.loads(gathered[p, : int(sizes[p, 0])].tobytes())
+            for p in range(gathered.shape[0])]
 
 
 def replicate(x):

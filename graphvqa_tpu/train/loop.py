@@ -23,7 +23,7 @@ from graphvqa_tpu.models import PipelineModel
 from graphvqa_tpu.train.logging_utils import AverageMeter, ProgressMeter
 from graphvqa_tpu.train.losses import total_loss
 from graphvqa_tpu.train.metrics import (
-    program_string_exact_match_acc, topk_accuracy)
+    program_match_vectors, program_string_exact_match_acc, topk_accuracy)
 from graphvqa_tpu.train.train_state import TrainState
 
 
@@ -85,6 +85,15 @@ def make_train_step(model: PipelineModel, cfg: Config) -> Callable:
             program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
             lr=state.current_lr(),
         )
+        if out.execution_bitmap is not None:
+            # explainability metric (mainExplain_gat.py:1013-1042); train
+            # batches use drop_last so every row is real
+            from graphvqa_tpu.nn.execution import bitmap_precision_recall
+            tp_p, p_div, tp_r, r_div = bitmap_precision_recall(
+                out.execution_bitmap, batch.graphs.exec_bitmap,
+                batch.graphs.node_mask)
+            metrics.update(bitmap_tp=tp_p, bitmap_pred_total=p_div,
+                           bitmap_true_total=r_div)
         return new_state, metrics
 
     return train_step
@@ -96,29 +105,31 @@ def make_eval_step(model: PipelineModel, cfg: Config) -> Callable:
     @jax.jit
     def eval_step(state: TrainState, batch: QABatch, rng: jax.Array):
         """Greedy-decode validation (SAMPLE_FLAG path,
-        mainExplain_gat.py:758-765)."""
+        mainExplain_gat.py:758-765).
+
+        Returns per-row signals rather than counts so the host can mask the
+        replicated tail of ragged final batches out of every metric."""
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             _teacher_inputs(batch), sample=True, deterministic=True,
             use_running_average=True,
             rngs={"lcgn_ctx": rng},
         )
-        sa_correct, sa_total = topk_accuracy(
-            out.short_answer_logits, batch.short_answer_label)
         # sampled buffer vs *full* target incl. <start>
         # (mainExplain_gat.py:746,788-791)
-        (p_c, p_t), (g_c, g_t), (ne_c, ne_t) = program_string_exact_match_acc(
+        match, group_match, empty = program_match_vectors(
             out.program_tokens, batch.programs, pad,
             cfg.model.max_execution_steps)
         sa_pred = jnp.argmax(out.short_answer_logits, axis=-1)
         sa_score = jnp.max(out.short_answer_logits, axis=-1)
-        metrics = dict(
-            short_answer_correct=sa_correct, short_answer_total=sa_total,
-            program_correct=p_c, program_total=p_t,
-            program_group_correct=g_c, program_group_total=g_t,
-            program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
+        vectors = dict(
+            sa_pred=sa_pred, sa_score=sa_score,
+            program_match=match, program_group_match=group_match,
+            program_empty=empty,
         )
-        return metrics, sa_pred, sa_score, out.program_tokens, out.node_attention
+        if out.execution_bitmap is not None:
+            vectors["execution_bitmap"] = out.execution_bitmap
+        return vectors, out.program_tokens, out.node_attention
 
     return eval_step
 
@@ -137,6 +148,8 @@ def train_one_epoch(
     pa = AverageMeter("Acc@Program", ":6.2f")
     pg = AverageMeter("Acc@ProgramGroup", ":4.2f")
     pne = AverageMeter("Acc@ProgramNonEmpty", ":4.2f")
+    bprec = AverageMeter("Bitmap@Precision", ":4.2f")
+    brec = AverageMeter("Bitmap@Recall", ":4.2f")
     progress = ProgressMeter(num_batches or 0, [losses, sa, pa, pg, pne],
                              prefix=f"Epoch: [{epoch}]")
 
@@ -152,10 +165,43 @@ def train_one_epoch(
         pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1), gt)
         nt = int(m["program_nonempty_total"])
         pne.update(100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
+        if "bitmap_tp" in m:
+            tp = float(m["bitmap_tp"])
+            pd = max(float(m["bitmap_pred_total"]), 1.0)
+            td = max(float(m["bitmap_true_total"]), 1.0)
+            bprec.update(100.0 * tp / pd, int(pd))
+            brec.update(100.0 * tp / td, int(td))
         if i % print_freq == 0:
             progress.display(i)
+            if bprec.count:
+                print(f"  {bprec}  {brec}")
     progress.display(i + 1)
     return state
+
+
+def _print_qualitative(meta, batch, prog_np, sa_pred_np, text_vocab,
+                       label2ans, real, max_steps, limit=8):
+    """First-batch qualitative sample dump (mainExplain_gat.py:804-841)."""
+    M = max_steps
+    programs_np = jax.device_get(batch.programs)
+    questions_np = jax.device_get(batch.questions)
+    for b in range(min(real, limit)):
+        question = (meta["questions"][b] if meta.get("questions")
+                    else text_vocab.decode(questions_np[b]))
+        gt_progs = [text_vocab.decode(programs_np[s + M * b])
+                    for s in range(M)]
+        pred_progs = [text_vocab.decode(prog_np[s + M * b])
+                      for s in range(M)]
+        gt_progs = [s for s in gt_progs if s]
+        pred_progs = [s for s in pred_progs if s]
+        answer = meta["answers"][b] if meta.get("answers") else "?"
+        pred = (label2ans[int(sa_pred_np[b])] if label2ans is not None
+                else str(int(sa_pred_np[b])))
+        print("=" * 16)
+        print("question:", question)
+        print("ground truth program:", " | ".join(gt_progs))
+        print("predicted program:  ", " | ".join(pred_progs))
+        print(f"answer: {answer}   prediction: {pred}")
 
 
 def validate(
@@ -170,15 +216,26 @@ def validate(
     print_freq: int = 100,
     dump_attentions_path: Optional[str] = None,
     scenes: Optional[dict] = None,
+    max_batches: Optional[int] = None,
+    print_qualitative: bool = False,
 ) -> Dict[str, float]:
     """``dump_attentions_path`` + ``scenes`` additionally write the official
     object-based attentions file ([{"questionId", "attention": [[x0, y0, x1,
     y1, att], ...]}], eval.py:160-165,328-329) from the pooling gate — node
-    order is the builder's sorted-object-id order (data/scene_graph.py)."""
+    order is the builder's sorted-object-id order (data/scene_graph.py).
+
+    ``max_batches`` is the FAST_VALIDATE knob (mainExplain_gat.py:675,707-710);
+    ``print_qualitative`` prints decoded samples of the first batch
+    (mainExplain_gat.py:804-841). Every metric counts only the real
+    (non-replicated) rows of ragged final batches. With multiple processes the
+    result/attention dumps are gathered host-side before the rank-0 write
+    (util/misc.py:88-128 equivalent)."""
     sa = AverageMeter("Acc@Short", ":6.2f")
     pa = AverageMeter("Acc@Program", ":6.2f")
     pg = AverageMeter("Acc@ProgramGroup", ":4.2f")
     pne = AverageMeter("Acc@ProgramNonEmpty", ":4.2f")
+    bprec = AverageMeter("Bitmap@Precision", ":4.2f")
+    brec = AverageMeter("Bitmap@Recall", ":4.2f")
     progress = ProgressMeter(0, [sa, pa, pg, pne], prefix="Test: ")
     quesid2ans = {}
     attentions_out = []
@@ -186,22 +243,42 @@ def validate(
 
     i = -1
     for i, (meta, batch) in enumerate(batches):
-        m, sa_pred, sa_score, prog_tokens, node_att = eval_step(
-            state, batch, rng)
+        if max_batches is not None and i >= max_batches:
+            break
+        vec, prog_tokens, node_att = eval_step(state, batch, rng)
         real = meta.get("real_count", batch.questions.shape[0])
-        # meters count only real (non-replicated) rows; in-graph counts cover
-        # the padded tail too, so recompute host-side on the real prefix
-        sa_pred_np = jax.device_get(sa_pred)[:real]
-        sa_score_np = jax.device_get(sa_score)[:real]
+        # all metrics count only real (non-replicated) rows: slice the
+        # per-row signal vectors on the host
+        sa_pred_np = jax.device_get(vec["sa_pred"])[:real]
+        sa_score_np = jax.device_get(vec["sa_score"])[:real]
         prog_np = jax.device_get(prog_tokens)
         labels = jax.device_get(batch.short_answer_label)[:real]
+        match = jax.device_get(vec["program_match"])[: real * M]
+        gmatch = jax.device_get(vec["program_group_match"])[:real]
+        empty = jax.device_get(vec["program_empty"])[: real * M]
         sa.update(100.0 * float((sa_pred_np == labels).sum()) / max(real, 1), real)
-        pt = int(m["program_total"])
-        pa.update(100.0 * float(m["program_correct"]) / max(pt, 1), pt)
-        gt = int(m["program_group_total"])
-        pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1), gt)
-        nt = int(m["program_nonempty_total"])
-        pne.update(100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
+        pa.update(100.0 * float(match.sum()) / max(real * M, 1), real * M)
+        pg.update(100.0 * float(gmatch.sum()) / max(real, 1), real)
+        nt = real * M - int(empty.sum())
+        pne.update(100.0 * float(match.sum() - empty.sum()) / max(nt, 1), nt)
+        if "execution_bitmap" in vec:
+            # bitmap precision/recall over real graphs' nodes only
+            # (mainExplain_gat.py:1013-1042)
+            bm_pred = jax.device_get(vec["execution_bitmap"])
+            bm_true = jax.device_get(batch.graphs.exec_bitmap)
+            ng = jax.device_get(batch.graphs.node_graph)
+            nmask = jax.device_get(batch.graphs.node_mask) & (ng < real)
+            pred = (bm_pred >= 0.5) & nmask[:, None]
+            true = (bm_true >= 0.5) & nmask[:, None]
+            tp = float((pred & true).sum())
+            bprec.update(100.0 * tp / max(float(pred.sum()), 1.0),
+                         max(int(pred.sum()), 1))
+            brec.update(100.0 * tp / max(float(true.sum()), 1.0),
+                        max(int(true.sum()), 1))
+
+        if i == 0 and print_qualitative and text_vocab is not None:
+            _print_qualitative(meta, batch, prog_np, sa_pred_np, text_vocab,
+                               label2ans, real, M)
 
         if dump_path is not None and text_vocab is not None:
             programs_np = jax.device_get(batch.programs)
@@ -254,17 +331,33 @@ def validate(
             progress.display(i)
     progress.display(i + 1)
 
-    if dump_attentions_path is not None:
-        path = pathlib.Path(dump_attentions_path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_text(json.dumps(attentions_out))
-        print("Attentions Dumped!", str(path))
+    # multi-process validation: every process holds 1/P of the results
+    # (per-host input sharding) — gather before the rank-0 dump
+    if jax.process_count() > 1 and (dump_path or dump_attentions_path):
+        from graphvqa_tpu.parallel.collectives import all_gather_host
+        gathered = all_gather_host((quesid2ans, attentions_out))
+        quesid2ans = {}
+        attentions_out = []
+        for qa, att in gathered:
+            quesid2ans.update(qa)
+            attentions_out.extend(att)
 
-    if dump_path is not None:
-        path = pathlib.Path(dump_path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_text(json.dumps(quesid2ans, indent=4, sort_keys=True))
-        print("Result Dumped!", str(path))
+    if jax.process_index() == 0:
+        if dump_attentions_path is not None:
+            path = pathlib.Path(dump_attentions_path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(json.dumps(attentions_out))
+            print("Attentions Dumped!", str(path))
 
-    return {"short_answer_acc": sa.avg, "program_acc": pa.avg,
-            "program_group_acc": pg.avg, "program_nonempty_acc": pne.avg}
+        if dump_path is not None:
+            path = pathlib.Path(dump_path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(json.dumps(quesid2ans, indent=4, sort_keys=True))
+            print("Result Dumped!", str(path))
+
+    out = {"short_answer_acc": sa.avg, "program_acc": pa.avg,
+           "program_group_acc": pg.avg, "program_nonempty_acc": pne.avg}
+    if bprec.count:
+        out["bitmap_precision"] = bprec.avg
+        out["bitmap_recall"] = brec.avg
+    return out

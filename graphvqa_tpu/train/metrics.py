@@ -41,6 +41,28 @@ def string_exact_match_acc(predictions: jax.Array, target: jax.Array,
     return match.sum(), jnp.asarray(target.shape[0])
 
 
+def program_match_vectors(
+    predictions: jax.Array,    # [B*M, L]
+    target: jax.Array,         # [B*M, L]
+    padding_idx: int = 1,
+    group_size: int = 5,
+):
+    """Per-row program match signals, so callers can mask padded/replicated
+    tail rows before counting (validate pads ragged final batches by
+    replication; counts must cover real rows only — the reference never pads,
+    mainExplain_gat.py:619-672 operates on exact batches).
+
+    Returns (match [B*M] bool, group_match [B] bool, empty_and_match [B*M]
+    bool). Empty-instruction detection follows the reference: an instruction
+    whose target position 2 is already padding (only <start> <end> remain
+    after the shift) counts as empty (mainExplain_gat.py:655-663).
+    """
+    match = _sequence_match(predictions, target, padding_idx)
+    group_match = jnp.all(match.reshape(-1, group_size), axis=1)
+    empty = (target[:, 2] == padding_idx) & match
+    return match, group_match, empty
+
+
 def program_string_exact_match_acc(
     predictions: jax.Array,    # [B*M, L]
     target: jax.Array,         # [B*M, L]
@@ -48,21 +70,12 @@ def program_string_exact_match_acc(
     group_size: int = 5,
 ):
     """Returns ((instr_correct, instr_total), (group_correct, group_total),
-    (non_empty_correct, non_empty_total)).
-
-    Empty-instruction detection follows the reference: an instruction whose
-    target position 2 is already padding (only <start> <end> remain after the
-    shift) counts as empty (mainExplain_gat.py:655-663).
-    """
-    match = _sequence_match(predictions, target, padding_idx)
+    (non_empty_correct, non_empty_total)). See program_match_vectors."""
+    match, group_match, empty = program_match_vectors(
+        predictions, target, padding_idx, group_size)
     total = target.shape[0]
-
-    group_match = jnp.all(match.reshape(-1, group_size), axis=1)
-
-    empty = (target[:, 2] == padding_idx) & match
     non_empty_correct = match.sum() - empty.sum()
     non_empty_total = total - empty.sum()
-
     return ((match.sum(), jnp.asarray(total)),
             (group_match.sum(), jnp.asarray(total // group_size)),
             (non_empty_correct, non_empty_total))

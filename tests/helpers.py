@@ -7,7 +7,8 @@ import jax.numpy as jnp
 from graphvqa_tpu.config import (
     BatchConfig, EngineConfig, ModelConfig, SceneGraphConfig, TextConfig,
     TransformerConfig)
-from graphvqa_tpu.core import GraphSample, QABatch, pack_graphs
+from graphvqa_tpu.core import (
+    GraphSample, QABatch, pack_graphs, pack_graphs_dense)
 
 
 def tiny_model_config(kind="gat", **overrides) -> ModelConfig:
@@ -38,15 +39,20 @@ def random_sample(rng, n, e, sg_vocab=40, tok_w=12, steps=3):
 
 
 def random_qa_batch(seed=0, num_graphs=2, nodes_pad=24, edges_pad=48,
-                    q_len=7, p_len=6, fa_len=8, cfg: ModelConfig | None = None):
+                    q_len=7, p_len=6, fa_len=8, cfg: ModelConfig | None = None,
+                    dense=False, nodes_per_graph=8, edges_per_graph=16):
     cfg = cfg or tiny_model_config()
     rng = np.random.default_rng(seed)
     samples = [random_sample(rng, rng.integers(3, 8), rng.integers(4, 16),
                              sg_vocab=cfg.scene.vocab_size,
                              steps=cfg.max_execution_steps)
                for _ in range(num_graphs)]
-    graphs = pack_graphs(samples, nodes_pad, edges_pad,
-                         max_steps=cfg.max_execution_steps)
+    if dense:
+        graphs = pack_graphs_dense(samples, nodes_per_graph, edges_per_graph,
+                                   max_steps=cfg.max_execution_steps)
+    else:
+        graphs = pack_graphs(samples, nodes_pad, edges_pad,
+                             max_steps=cfg.max_execution_steps)
     graphs = graphs.replace(
         node_tokens=jnp.asarray(graphs.node_tokens),
         node_graph=jnp.asarray(graphs.node_graph),

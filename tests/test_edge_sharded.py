@@ -1,0 +1,130 @@
+"""Edge-partitioned FULL-pipeline training step: exactness vs single device.
+
+VERDICT r1 item 2: the edge axis must shard the real model's edge arrays
+through all engine rounds inside one train step, composed with DP — and the
+gradients must match the single-device step (not merely be finite).
+
+Dropout is zeroed in these configs because the single-device and sharded
+steps draw from differently-folded rng streams; everything else (BatchNorm
+batch stats, losses, Adam updates) must line up exactly.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphvqa_tpu.config import BatchConfig, Config, TrainConfig
+from graphvqa_tpu.models import PipelineModel
+from graphvqa_tpu.parallel.mesh import make_mesh
+from graphvqa_tpu.parallel.edge_sharded import (
+    make_dp_edge_train_step, prepare_dp_edge_batch, shard_edges_dense)
+from graphvqa_tpu.train.loop import make_train_step
+from graphvqa_tpu.train.train_state import create_train_state
+
+from tests.helpers import random_qa_batch, tiny_model_config
+
+
+def _dropout_free_cfg(kind="gat"):
+    m = tiny_model_config(kind)
+    m = dataclasses.replace(
+        m,
+        transformer=dataclasses.replace(m.transformer, dropout=0.0),
+        engine=dataclasses.replace(m.engine, dropout=0.0),
+        classifier_dropout=0.0,
+    )
+    return Config(model=m, batch=BatchConfig(), train=TrainConfig())
+
+
+def _init(cfg, batch, seed=0):
+    model = PipelineModel(cfg.model)
+    rngs = {"params": jax.random.key(seed),
+            "dropout": jax.random.key(seed + 1),
+            "lcgn_ctx": jax.random.key(seed + 2)}
+    variables = model.init(rngs, batch.replace(
+        programs=batch.programs[:, :-1],
+        full_answers=batch.full_answers[:, :-1]))
+    return model, create_train_state(variables)
+
+
+def test_edge_partitioned_pipeline_grads_match_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    cfg = _dropout_free_cfg()
+    batch = random_qa_batch(seed=3, num_graphs=3, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16,
+                            cfg=cfg.model)
+    model, state = _init(cfg, batch)
+    rng = jax.random.key(7)
+
+    single_step = make_train_step(model, cfg)
+    s1, m1 = single_step(state, batch, rng)
+
+    mesh = make_mesh(data=1, edge=4, devices=jax.devices()[:4])
+    edge_step = make_dp_edge_train_step(model, cfg, mesh)
+    stacked = prepare_dp_edge_batch([batch], mesh)
+    s2, m2 = edge_step(state, stacked, rng)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    # batch stats too (BatchNorm runs on replicated node arrays)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_dp_times_edge_composition_matches_single_device():
+    """data=2 x edge=2 on [b, b] must equal the single-device step on b
+    (pmean of identical shards is the identity)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    cfg = _dropout_free_cfg()
+    batch = random_qa_batch(seed=5, num_graphs=2, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16,
+                            cfg=cfg.model)
+    model, state = _init(cfg, batch)
+    rng = jax.random.key(11)
+
+    single_step = make_train_step(model, cfg)
+    s1, m1 = single_step(state, batch, rng)
+
+    mesh = make_mesh(data=2, edge=2, devices=jax.devices()[:4])
+    edge_step = make_dp_edge_train_step(model, cfg, mesh)
+    stacked = prepare_dp_edge_batch([batch, batch], mesh)
+    s2, m2 = edge_step(state, stacked, rng)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    assert int(m2["short_answer_total"]) == 2 * int(m1["short_answer_total"])
+
+
+def test_shard_edges_dense_roundtrip():
+    batch = random_qa_batch(seed=9, num_graphs=3, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16)
+    g = batch.graphs
+    sh = shard_edges_dense(g, 4)
+    assert sh.edge_src.shape == (4, g.num_graphs * 4)
+    # every original real edge appears in exactly one shard
+    orig = set()
+    m = np.asarray(g.edge_mask)
+    for e in np.nonzero(m)[0]:
+        orig.add((int(g.edge_src[e]), int(g.edge_dst[e]),
+                  int(g.edge_tokens[e, 0])))
+    seen = []
+    for j in range(4):
+        mj = np.asarray(sh.edge_mask[j])
+        for e in np.nonzero(mj)[0]:
+            seen.append((int(sh.edge_src[j, e]), int(sh.edge_dst[j, e]),
+                         int(sh.edge_tokens[j, e, 0])))
+    assert len(seen) == int(m.sum())
+    assert set(seen) == orig

@@ -40,7 +40,8 @@ def main():
         t_hi = min(run(hi) for _ in range(2))
         print(f"{name}: {(t_hi-t_lo)/(hi-lo)*1e3:.2f} ms", flush=True)
 
-    for BN, spn in ():
+    # sweep (block_nodes, slots_per_node); 16x16 was the r1 shipping default
+    for BN, spn in ((8, 16), (16, 16), (32, 12), (64, 12), (128, 12)):
         g = jax.tree.map(jnp.asarray,
                          build_blocked_edges(flat, BN, spn))
         nb, BE = g.blk_src.shape
