@@ -57,7 +57,8 @@ def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
 
 
 def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
-                     ins_dim=512, iters=(8, 40), label="sorted"):
+                     ins_dim=512, iters=(8, 40), label="sorted",
+                     dtype="float32"):
     """Time the engine with chained iterations inside one compiled loop.
 
     The axon relay elides repeated identical executions and resolves
@@ -75,7 +76,7 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
     # (minutes for MBs), since jit embeds closures as constants.
     graph = jax.tree.map(jnp.asarray, graph)
     engine = GATSeq(out_channels=channels, num_rounds=rounds, heads=heads,
-                    dropout=0.0)
+                    dropout=0.0, dtype=jnp.dtype(dtype))
     key = jax.random.key(0)
     x = jax.random.normal(key, (graph.nodes_pad, channels), jnp.float32)
     e = jax.random.normal(key, (graph.edges_pad, channels), jnp.float32)
@@ -119,6 +120,8 @@ def main():
     # production path: dense per-graph layout -> batched MXU matmuls
     graph_dense, real_edges = make_batch(dense=True)
     eps_dense = bench_gat_engine(graph_dense, real_edges, label="dense")
+    bench_gat_engine(graph_dense, real_edges, label="dense-bf16",
+                     dtype="bfloat16")
 
     graph_sorted, _ = make_batch(sort_by_dst=True)
     bench_gat_engine(graph_sorted, real_edges, label="flat-sorted")

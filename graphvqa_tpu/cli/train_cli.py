@@ -84,6 +84,13 @@ def get_args_parser():
     p.add_argument("--data-parallel", default=1, type=int,
                    help="number of data shards (devices) for DP training")
     p.add_argument("--use-execution-engine", action="store_true")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of a few steps of the "
+                        "first epoch into this directory (TensorBoard/XProf)")
+    p.add_argument("--tiny", action="store_true",
+                   help="debug-scale model dims (CI golden tests / smoke "
+                        "runs); same architecture and data path, ~100x fewer "
+                        "params")
     return p
 
 
@@ -125,8 +132,16 @@ def _load_glove(args, text_vocab, sg_vocab, out_dir):
 
 
 def main(args):
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # some TPU plugins clobber JAX_PLATFORMS at registration; re-assert the
+    # user's explicit choice so `JAX_PLATFORMS=cpu python -m ...train_cli`
+    # really runs on CPU
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from graphvqa_tpu.config import (BatchConfig, CONFIG_FACTORY, Config,
                                      TrainConfig)
@@ -174,16 +189,25 @@ def main(args):
     print(f"text vocab: {len(text_vocab)} | sg vocab: {len(sg_vocab)}")
 
     cfg = CONFIG_FACTORY[args.model]()
+    model_cfg = dataclasses.replace(
+        cfg.model,
+        text=dataclasses.replace(cfg.model.text, vocab_size=len(text_vocab)),
+        scene=dataclasses.replace(cfg.model.scene, vocab_size=len(sg_vocab)),
+        use_execution_engine=args.use_execution_engine,
+    )
+    if args.tiny:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            text=dataclasses.replace(model_cfg.text, emb_dim=48),
+            scene=dataclasses.replace(model_cfg.scene, emb_dim=48),
+            transformer=dataclasses.replace(
+                model_cfg.transformer, hidden_dim=64, num_heads=4,
+                ffn_dim=128, num_layers=2),
+            classifier_hidden=64,
+        )
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(
-            cfg.model,
-            text=dataclasses.replace(cfg.model.text,
-                                     vocab_size=len(text_vocab)),
-            scene=dataclasses.replace(cfg.model.scene,
-                                      vocab_size=len(sg_vocab)),
-            use_execution_engine=args.use_execution_engine,
-        ),
+        model=model_cfg,
         batch=BatchConfig(
             num_graphs=args.batch_size, nodes_pad=args.nodes_pad,
             edges_pad=args.edges_pad, question_len=args.question_len,
@@ -321,7 +345,10 @@ def main(args):
                                 prefetch(batches_fn(epoch), depth=4),
                                 rng, epoch,
                                 print_freq=args.print_freq,
-                                num_batches=steps_per_epoch)
+                                num_batches=steps_per_epoch,
+                                engine_rounds=cfg.model.engine.num_rounds,
+                                profile_dir=(args.profile_dir or None)
+                                if epoch == start_epoch else None)
         if (epoch + 1) % args.validate_every == 0:
             validate(eval_step, state,
                      val_ds.iter_batches(cfg.batch, shard_index=proc,

@@ -35,17 +35,21 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _LIB_TRIED = True
     so = _NATIVE_DIR / "libgraphpack.so"
-    if not so.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+    # `make` is a fast no-op when the .so is newer than the source, and
+    # rebuilds stale checkouts (e.g. a committed .so older than packing.cc)
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
     if not so.exists():
         return None
     lib = ctypes.CDLL(str(so))
+    if not hasattr(lib, "gp_pack_dense"):
+        return None  # stale binary without the dense entry point
     lib.gp_pack.restype = ctypes.c_int
     lib.gp_build_blocked.restype = ctypes.c_int
+    lib.gp_pack_dense.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -138,6 +142,91 @@ def pack_graphs_native(
         edge_src=edge_src, edge_dst=edge_dst, edge_tokens=edge_tokens,
         edge_mask=edge_mask.astype(bool), edge_sym_sign=edge_sym_sign,
         exec_bitmap=bitmap_out, num_graphs=num_graphs)
+
+
+def pack_graphs_dense_native(
+    samples: Sequence[GraphSample],
+    nodes_per_graph: int,
+    edges_per_graph: int,
+    max_steps: int = 5,
+    num_graphs: Optional[int] = None,
+) -> GraphBatch:
+    """Native equivalent of packing.pack_graphs_dense (fully-uniform layout)."""
+    lib = _load()
+    if lib is None:
+        from graphvqa_tpu.core.packing import pack_graphs_dense
+        return pack_graphs_dense(samples, nodes_per_graph, edges_per_graph,
+                                 max_steps, num_graphs)
+
+    B = num_graphs if num_graphs is not None else len(samples)
+    if len(samples) > B:
+        raise ValueError(f"{len(samples)} samples > num_graphs={B}")
+    npg, epg = nodes_per_graph, edges_per_graph
+    nodes_pad, edges_pad = B * npg, B * epg
+    tok_w = samples[0].node_tokens.shape[1] if samples else 12
+    etok_w = samples[0].edge_tokens.shape[1] if samples else 1
+
+    n = len(samples)
+    node_off = np.zeros(n + 1, np.int32)
+    edge_off = np.zeros(n + 1, np.int32)
+    for g, s in enumerate(samples):
+        node_off[g + 1] = node_off[g] + s.num_nodes
+        edge_off[g + 1] = edge_off[g] + s.num_edges
+
+    nt = np.ascontiguousarray(
+        np.concatenate([s.node_tokens for s in samples]), np.int32)
+    es = np.ascontiguousarray(
+        np.concatenate([s.edge_src for s in samples]), np.int32)
+    ed = np.ascontiguousarray(
+        np.concatenate([s.edge_dst for s in samples]), np.int32)
+    et = np.ascontiguousarray(
+        np.concatenate([s.edge_tokens for s in samples]), np.int32)
+    sym = np.ascontiguousarray(
+        np.concatenate([s.edge_sym for s in samples]), np.uint8)
+    have_bitmap = all(s.exec_bitmap is not None for s in samples)
+    if have_bitmap:
+        def _pad_steps(b):
+            k = min(max_steps, b.shape[1])
+            out = np.zeros((b.shape[0], max_steps), np.float32)
+            out[:, :k] = b[:, :k]
+            return out
+        bm = np.ascontiguousarray(
+            np.concatenate([_pad_steps(s.exec_bitmap) for s in samples]),
+            np.float32)
+    else:
+        bm = None
+
+    node_tokens = np.empty((nodes_pad, tok_w), np.int32)
+    node_graph = np.empty((nodes_pad,), np.int32)
+    node_mask = np.empty((nodes_pad,), np.uint8)
+    edge_src = np.empty((edges_pad,), np.int32)
+    edge_dst = np.empty((edges_pad,), np.int32)
+    edge_tokens = np.empty((edges_pad, etok_w), np.int32)
+    edge_mask = np.empty((edges_pad,), np.uint8)
+    edge_sym_sign = np.empty((edges_pad,), np.float32)
+    bitmap_out = np.empty((nodes_pad, max_steps), np.float32)
+
+    ret = lib.gp_pack_dense(
+        n, B, tok_w, etok_w, max_steps,
+        _ptr(node_off, _i32p), _ptr(edge_off, _i32p),
+        _ptr(nt, _i32p), _ptr(es, _i32p), _ptr(ed, _i32p), _ptr(et, _i32p),
+        _ptr(sym, _u8p),
+        _ptr(bm, _f32p) if bm is not None else None,
+        npg, epg,
+        _ptr(node_tokens, _i32p), _ptr(node_graph, _i32p),
+        _ptr(node_mask, _u8p), _ptr(edge_src, _i32p), _ptr(edge_dst, _i32p),
+        _ptr(edge_tokens, _i32p), _ptr(edge_mask, _u8p),
+        _ptr(edge_sym_sign, _f32p), _ptr(bitmap_out, _f32p))
+    if ret != 0:
+        raise ValueError("gp_pack_dense per-graph overflow")
+
+    return GraphBatch(
+        node_tokens=node_tokens, node_graph=node_graph,
+        node_mask=node_mask.astype(bool),
+        edge_src=edge_src, edge_dst=edge_dst, edge_tokens=edge_tokens,
+        edge_mask=edge_mask.astype(bool), edge_sym_sign=edge_sym_sign,
+        exec_bitmap=bitmap_out, num_graphs=B,
+        nodes_per_graph=npg, edges_per_graph=epg)
 
 
 def build_blocked_edges_native(

@@ -162,15 +162,15 @@ def collate_qa(
     (gqa_dataset_entry.py:659-663) and the decoder's repeat_interleave layout.
     """
     from graphvqa_tpu.core.native import (
-        build_blocked_edges_native, pack_graphs_native)
-    from graphvqa_tpu.core.packing import pack_graphs_dense
+        build_blocked_edges_native, pack_graphs_dense_native,
+        pack_graphs_native)
     graph_samples = [it["graph"] for it in items]
     max_n = max(g.num_nodes for g in graph_samples)
     max_e = max(g.num_edges for g in graph_samples)
     if (batch_cfg.layout == "dense"
             and max_n <= batch_cfg.nodes_per_graph
             and max_e <= batch_cfg.edges_per_graph):
-        graphs = pack_graphs_dense(
+        graphs = pack_graphs_dense_native(
             graph_samples, batch_cfg.nodes_per_graph,
             batch_cfg.edges_per_graph, max_steps=max_steps,
             num_graphs=batch_cfg.num_graphs)

@@ -16,6 +16,9 @@ from typing import List
 _CONTRACTION = re.compile(
     r"(?i)^(.+?)(n't|'s|'re|'ve|'ll|'d|'m)$")
 _PUNCT = ".,!?;:\"()[]{}"
+# spacy infix rule: hyphens/slashes between letters split into three tokens
+# ("t-shirt" -> t | - | shirt), matching en_core_web_sm's infix patterns
+_INFIX = re.compile(r"(?<=[A-Za-z0-9])([\-/])(?=[A-Za-z0-9])")
 
 
 def tokenize(text: str) -> List[str]:
@@ -38,11 +41,11 @@ def _tokenize_chunk(chunk: str, out: List[str]) -> None:
         trail.append(chunk[-1])
         chunk = chunk[:-1]
     out.extend(lead)
-    if chunk:
-        m = _CONTRACTION.match(chunk)
+    for part in _INFIX.split(chunk) if chunk else ():
+        m = _CONTRACTION.match(part)
         if m and m.group(1):
             out.append(m.group(1))
             out.append(m.group(2))
-        else:
-            out.append(chunk)
+        elif part:
+            out.append(part)
     out.extend(reversed(trail))

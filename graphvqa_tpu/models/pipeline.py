@@ -42,6 +42,8 @@ class ModelOutput:
     full_answer_tokens: Optional[jax.Array] = None
     execution_bitmap: Optional[jax.Array] = None   # [N, M]
     node_attention: Optional[jax.Array] = None     # [N] pooling gate per node
+    edge_attention: Optional[jax.Array] = None     # [rounds, E, H] GAT alphas
+                                                   # (gat_skip.py:170-177)
 
 
 class PipelineModel(nn.Module):
@@ -110,7 +112,12 @@ class PipelineModel(nn.Module):
         sample: bool = False,
         deterministic: bool = True,
         use_running_average: bool = True,
+        return_edge_attention: bool = False,
     ) -> ModelOutput:
+        """``return_edge_attention`` additionally returns the per-round
+        per-edge GAT attention weights (flat edge order) — the reference's
+        optional explainability output (gat_skip.py:170-177); GAT engine
+        only."""
         c = self.cfg
         graph = batch.graphs
 
@@ -137,11 +144,15 @@ class PipelineModel(nn.Module):
                 graph, x_encoded, instr_vectors)
 
         kind = c.engine.kind
+        edge_attention = None
         if kind in ("gat", "none"):
             x_executed = self.engine(
                 graph, x_encoded, edge_attr_encoded, instr_vectors,
                 deterministic=deterministic,
-                use_running_average=use_running_average)
+                use_running_average=use_running_average,
+                return_alpha=return_edge_attention)
+            if return_edge_attention:
+                x_executed, edge_attention = x_executed
         elif kind == "gcn":
             x_executed = self.engine(
                 graph, x_encoded, instr_vectors, deterministic=deterministic,
@@ -190,4 +201,5 @@ class PipelineModel(nn.Module):
             full_answer_tokens=full_answer_tokens,
             execution_bitmap=execution_bitmap,
             node_attention=node_gate[:, 0],
+            edge_attention=edge_attention,
         )

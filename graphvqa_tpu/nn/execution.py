@@ -57,15 +57,23 @@ class RecurrentExecutionEngine(nn.Module):
 
             # residual node update (pipeline_model_gat.py:236-259):
             # messages [x_src, history[graph_of_src]] -> MLP -> scatter_mean
-            src_graph = jnp.take(graph.node_graph, graph.edge_src, axis=0)
-            msg_in = jnp.concatenate(
-                [jnp.take(x, graph.edge_src, axis=0),
-                 jnp.take(hist_pad, src_graph, axis=0)], axis=-1)
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import (
+                    broadcast_to_edges, broadcast_to_nodes, dense_gather_src)
+                msg_in = jnp.concatenate(
+                    [dense_gather_src(graph, x),
+                     broadcast_to_edges(graph, history)], axis=-1)
+                u_nodes = broadcast_to_nodes(graph, u)
+            else:
+                src_graph = jnp.take(graph.node_graph, graph.edge_src, axis=0)
+                msg_in = jnp.concatenate(
+                    [jnp.take(x, graph.edge_src, axis=0),
+                     jnp.take(hist_pad, src_graph, axis=0)], axis=-1)
+                u_nodes = jnp.take(u_pad, graph.node_graph, axis=0)
             msg = node_mlp_1(msg_in)
             from graphvqa_tpu.ops.blocked import aggregate_edge_values
             aggr = aggregate_edge_values(graph, msg, reduce="mean")
-            upd_in = jnp.concatenate(
-                [x, aggr, jnp.take(u_pad, graph.node_graph, axis=0)], axis=-1)
+            upd_in = jnp.concatenate([x, aggr, u_nodes], axis=-1)
             x_out = node_mlp_2(upd_in) + x
             x_out = graph_layer_norm_any(graph, x_out, ln_w, ln_b)
 

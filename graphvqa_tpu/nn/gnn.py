@@ -157,9 +157,13 @@ class GATLayer(nn.Module):
         if ins is not None:
             ins_w = jnp.dot(ins.astype(dt), w[x.shape[-1]:].astype(dt),
                             preferred_element_type=jnp.float32)   # [B, H*C]
-            ins_w = jnp.concatenate(
-                [ins_w, jnp.zeros((1, H * C), ins_w.dtype)], axis=0)
-            xw = xw + jnp.take(ins_w, graph.node_graph, axis=0)
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import broadcast_to_nodes
+                xw = xw + broadcast_to_nodes(graph, ins_w)
+            else:
+                ins_w = jnp.concatenate(
+                    [ins_w, jnp.zeros((1, H * C), ins_w.dtype)], axis=0)
+                xw = xw + jnp.take(ins_w, graph.node_graph, axis=0)
         xw = xw.reshape(N, H, C).astype(dt)
         alpha_l = (xw * att_l).sum(-1)   # [N, H]
         alpha_r = (xw * att_r).sum(-1)
@@ -173,9 +177,14 @@ class GATLayer(nn.Module):
             ins_e = jnp.dot(ins.astype(dt),
                             we_att[edge_attr.shape[-1]:].astype(dt),
                             preferred_element_type=jnp.float32)    # [B, H]
-            ins_e = jnp.concatenate(
-                [ins_e, jnp.zeros((1, H), ins_e.dtype)], axis=0)
-            alpha_e = alpha_e + jnp.take(ins_e, graph.edge_graph(), axis=0)
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import broadcast_to_edges
+                alpha_e = alpha_e + broadcast_to_edges(graph, ins_e)
+            else:
+                ins_e = jnp.concatenate(
+                    [ins_e, jnp.zeros((1, H), ins_e.dtype)], axis=0)
+                alpha_e = alpha_e + jnp.take(ins_e, graph.edge_graph(),
+                                             axis=0)
         alpha_e = alpha_e.astype(dt)
 
         apply_dropout = self.dropout > 0.0 and not deterministic
@@ -316,10 +325,14 @@ class GCNSeq(nn.Module):
         h = x
         for i in range(self.num_rounds):
             ins = instr_vectors[i]
-            ins_pad = jnp.concatenate(
-                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
-            x_cat = jnp.concatenate(
-                [h, jnp.take(ins_pad, graph.node_graph, axis=0)], axis=-1)
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import broadcast_to_nodes
+                ins_nodes = broadcast_to_nodes(graph, ins)
+            else:
+                ins_pad = jnp.concatenate(
+                    [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
+                ins_nodes = jnp.take(ins_pad, graph.node_graph, axis=0)
+            x_cat = jnp.concatenate([h, ins_nodes], axis=-1)
 
             xw = GlorotLinear(self.out_channels, dtype=self.dtype,
                               name=f"conv_{i}_weight")(x_cat)
@@ -378,14 +391,25 @@ class GINESeq(nn.Module):
         h = x
         for i in range(self.num_rounds):
             ins = instr_vectors[i]
-            ins_pad = jnp.concatenate(
-                [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
-            x_cat = jnp.concatenate(
-                [h, jnp.take(ins_pad, graph.node_graph, axis=0)], axis=-1)
-            edge_cat = jnp.concatenate(
-                [edge_attr, jnp.take(ins_pad, edge_graph, axis=0)], axis=-1)
+            if graph.has_dense_layout:
+                from graphvqa_tpu.ops.dense import (
+                    broadcast_to_edges, broadcast_to_nodes, dense_gather_src)
+                x_cat = jnp.concatenate(
+                    [h, broadcast_to_nodes(graph, ins)], axis=-1)
+                edge_cat = jnp.concatenate(
+                    [edge_attr, broadcast_to_edges(graph, ins)], axis=-1)
+                x_src = dense_gather_src(graph, x_cat)
+            else:
+                ins_pad = jnp.concatenate(
+                    [ins, jnp.zeros((1, ins.shape[-1]), ins.dtype)], axis=0)
+                x_cat = jnp.concatenate(
+                    [h, jnp.take(ins_pad, graph.node_graph, axis=0)], axis=-1)
+                edge_cat = jnp.concatenate(
+                    [edge_attr, jnp.take(ins_pad, edge_graph, axis=0)],
+                    axis=-1)
+                x_src = jnp.take(x_cat, graph.edge_src, axis=0)
 
-            msgs = nn.relu(jnp.take(x_cat, graph.edge_src, axis=0) + edge_cat)
+            msgs = nn.relu(x_src + edge_cat)
             from graphvqa_tpu.ops.blocked import aggregate_edge_values
             aggr = aggregate_edge_values(graph, msgs)
             conv_res = MLP2(self.out_channels, self.out_channels, self.dtype,
@@ -438,11 +462,25 @@ class LCGNCell(nn.Module):
         cal_cmd = jnp.take(cal_cmd, graph.node_graph, axis=0).reshape(N, H, C)
 
         x_mul = proj_cmd * x_r
-        logits = (jnp.take(x_l, graph.edge_src, axis=0)
-                  * jnp.take(x_mul, graph.edge_dst, axis=0)).sum(-1)  # [E, H]
+        if graph.has_dense_layout:
+            from graphvqa_tpu.ops.dense import (
+                dense_gather_src, dense_segment_softmax, onehot_dst)
+            B, npg, epg = graph.num_graphs, graph.nodes_per_graph, \
+                graph.edges_per_graph
+            x_l_src = dense_gather_src(
+                graph, x_l.reshape(N, H * C)).reshape(B * epg, H, C)
+            # dst-side gather via the destination incidence matmul
+            x_mul_dst = jnp.einsum(
+                "bei,bid->bed", onehot_dst(graph, x_mul.dtype),
+                x_mul.reshape(B, npg, H * C),
+                preferred_element_type=jnp.float32
+            ).reshape(B * epg, H, C).astype(x_mul.dtype)
+            logits = (x_l_src * x_mul_dst).sum(-1)                  # [E, H]
+        else:
+            logits = (jnp.take(x_l, graph.edge_src, axis=0)
+                      * jnp.take(x_mul, graph.edge_dst, axis=0)).sum(-1)
         logits = nn.leaky_relu(logits, self.negative_slope)
         if graph.has_dense_layout:
-            from graphvqa_tpu.ops.dense import dense_segment_softmax
             alpha = dense_segment_softmax(graph, logits)
         else:
             alpha = segment_softmax(logits, graph.edge_dst, N,

@@ -95,7 +95,8 @@ def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callabl
             short_answer_correct=sa_c, short_answer_total=sa_t,
             program_correct=p_c, program_total=p_t,
             program_group_correct=g_c, program_group_total=g_t,
-            program_nonempty_correct=ne_c, program_nonempty_total=ne_t)
+            program_nonempty_correct=ne_c, program_nonempty_total=ne_t,
+            edge_count=batch.graphs.edge_mask.sum())
         metrics.update(
             {k: jax.lax.psum(v, "data") for k, v in counts.items()})
         return grads, new_bs, metrics

@@ -166,6 +166,8 @@ def make_dp_edge_train_step(model: PipelineModel, cfg: Config,
             program_nonempty_correct=ne_c, program_nonempty_total=ne_t)
         metrics.update(
             {k: jax.lax.psum(v, "data") for k, v in counts.items()})
+        metrics["edge_count"] = jax.lax.psum(
+            graphs.edge_mask.sum(), ("data", "edge"))
         new_bs = jax.lax.pmean(mutated["batch_stats"], "data")
         return loss, (metrics, new_bs)
 

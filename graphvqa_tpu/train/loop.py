@@ -94,6 +94,8 @@ def make_train_step(model: PipelineModel, cfg: Config) -> Callable:
                 batch.graphs.node_mask)
             metrics.update(bitmap_tp=tp_p, bitmap_pred_total=p_div,
                            bitmap_true_total=r_div)
+        # real edge count feeds the throughput meter (edges/s, BASELINE.json)
+        metrics["edge_count"] = batch.graphs.edge_mask.sum()
         return new_state, metrics
 
     return train_step
@@ -142,7 +144,14 @@ def train_one_epoch(
     epoch: int,
     print_freq: int = 100,
     num_batches: Optional[int] = None,
+    engine_rounds: int = 5,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (5, 10),
 ) -> TrainState:
+    """``profile_dir`` captures a jax.profiler trace (TensorBoard/XProf)
+    over steps [profile_steps) of this epoch; throughput (qa/s, edges/s) is
+    reported at every print — the BASELINE.json metrics."""
+    from graphvqa_tpu.train.profiling import ThroughputMeter
     losses = AverageMeter("Loss", ":.4e")
     sa = AverageMeter("Acc@Short", ":6.2f")
     pa = AverageMeter("Acc@Program", ":6.2f")
@@ -153,10 +162,21 @@ def train_one_epoch(
     progress = ProgressMeter(num_batches or 0, [losses, sa, pa, pg, pne],
                              prefix=f"Epoch: [{epoch}]")
 
+    tput = ThroughputMeter(engine_rounds)
+    profiler_on = False
+
     i = -1
     for i, (_, batch) in enumerate(batches):
+        if profile_dir is not None:
+            if i == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiler_on = True
+            elif i == profile_steps[1] and profiler_on:
+                jax.profiler.stop_trace()
+                profiler_on = False
         state, m = train_step(state, batch, rng)
         bsz = int(m["short_answer_total"])
+        tput.update(bsz, int(m.get("edge_count", 0)))
         losses.update(float(m["total"]), bsz)
         sa.update(100.0 * float(m["short_answer_correct"]) / max(bsz, 1), bsz)
         pt = int(m["program_total"])
@@ -173,9 +193,13 @@ def train_one_epoch(
             brec.update(100.0 * tp / td, int(td))
         if i % print_freq == 0:
             progress.display(i)
+            print(f"  throughput: {tput.summary()}")
             if bprec.count:
                 print(f"  {bprec}  {brec}")
+    if profiler_on:
+        jax.profiler.stop_trace()
     progress.display(i + 1)
+    print(f"  throughput: {tput.summary()}")
     return state
 
 

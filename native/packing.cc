@@ -108,6 +108,85 @@ int gp_pack(
   return 0;
 }
 
+// Pack concatenated ragged graphs into the FULLY-UNIFORM dense layout
+// (mirror of core/packing.py:pack_graphs_dense): graph g owns node rows
+// [g*npg, (g+1)*npg) and edge rows [g*epg, (g+1)*epg); edges dst-sorted
+// within each graph (counting sort); padded edges point at their own
+// graph's last node row (keeps global dst-sortedness).
+//
+// num_graphs_out >= number of ragged graphs supplied appends fully-masked
+// dummy graphs. Returns 0 on success, negative on per-graph overflow.
+int gp_pack_dense(
+    int32_t num_graphs, int32_t num_graphs_out,
+    int32_t tok_w, int32_t etok_w, int32_t max_steps,
+    const int32_t* node_off, const int32_t* edge_off,
+    const int32_t* node_tokens_in,
+    const int32_t* edge_src_in, const int32_t* edge_dst_in,
+    const int32_t* edge_tokens_in, const uint8_t* edge_sym_in,
+    const float* bitmap_in,
+    int32_t npg, int32_t epg,
+    int32_t* node_tokens_out, int32_t* node_graph_out, uint8_t* node_mask_out,
+    int32_t* edge_src_out, int32_t* edge_dst_out, int32_t* edge_tokens_out,
+    uint8_t* edge_mask_out, float* edge_sym_sign_out, float* bitmap_out) {
+  const int64_t nodes_pad = (int64_t)num_graphs_out * npg;
+  const int64_t edges_pad = (int64_t)num_graphs_out * epg;
+
+  // defaults
+  for (int64_t i = 0; i < nodes_pad * tok_w; ++i) node_tokens_out[i] = 1;
+  for (int64_t i = 0; i < nodes_pad; ++i) {
+    node_graph_out[i] = num_graphs_out;
+    node_mask_out[i] = 0;
+  }
+  std::memset(bitmap_out, 0, sizeof(float) * nodes_pad * max_steps);
+  for (int64_t i = 0; i < edges_pad; ++i) {
+    const int32_t pad_node = (int32_t)(i / epg) * npg + (npg - 1);
+    edge_src_out[i] = pad_node;
+    edge_dst_out[i] = pad_node;
+    edge_mask_out[i] = 0;
+    edge_sym_sign_out[i] = 1.0f;
+  }
+  for (int64_t i = 0; i < edges_pad * etok_w; ++i) edge_tokens_out[i] = 1;
+
+  std::vector<int32_t> count, cursor;
+  for (int32_t g = 0; g < num_graphs; ++g) {
+    const int32_t n = node_off[g + 1] - node_off[g];
+    const int32_t e = edge_off[g + 1] - edge_off[g];
+    if (n > npg || e > epg) return -1;
+    const int64_t noff = (int64_t)g * npg;
+    const int64_t eoff = (int64_t)g * epg;
+
+    std::memcpy(node_tokens_out + noff * tok_w,
+                node_tokens_in + (int64_t)node_off[g] * tok_w,
+                sizeof(int32_t) * n * tok_w);
+    for (int32_t i = 0; i < n; ++i) {
+      node_graph_out[noff + i] = g;
+      node_mask_out[noff + i] = 1;
+    }
+    if (bitmap_in)
+      std::memcpy(bitmap_out + noff * max_steps,
+                  bitmap_in + (int64_t)node_off[g] * max_steps,
+                  sizeof(float) * n * max_steps);
+
+    // per-graph stable counting sort of edges by local dst
+    count.assign(npg + 1, 0);
+    for (int32_t e2 = edge_off[g]; e2 < edge_off[g + 1]; ++e2)
+      count[edge_dst_in[e2] + 1]++;
+    for (int32_t i = 0; i < npg; ++i) count[i + 1] += count[i];
+    cursor.assign(count.begin(), count.end() - 1);
+    for (int32_t e2 = edge_off[g]; e2 < edge_off[g + 1]; ++e2) {
+      const int64_t slot = eoff + cursor[edge_dst_in[e2]]++;
+      edge_src_out[slot] = edge_src_in[e2] + (int32_t)noff;
+      edge_dst_out[slot] = edge_dst_in[e2] + (int32_t)noff;
+      edge_mask_out[slot] = 1;
+      edge_sym_sign_out[slot] = edge_sym_in[e2] ? -1.0f : 1.0f;
+      for (int32_t t = 0; t < etok_w; ++t)
+        edge_tokens_out[slot * etok_w + t] =
+            edge_tokens_in[(int64_t)e2 * etok_w + t];
+    }
+  }
+  return 0;
+}
+
 // Build the ELL + spill blocked layout from a packed flat batch
 // (mirror of core/packing.py:build_blocked_edges).
 // Returns number of spilled edges, or negative on spill overflow.

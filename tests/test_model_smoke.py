@@ -95,3 +95,30 @@ def test_padding_invariance():
     np.testing.assert_allclose(
         np.asarray(out_s.short_answer_logits),
         np.asarray(out_b.short_answer_logits), rtol=1e-4, atol=1e-4)
+
+
+def test_edge_attention_exposed():
+    """GAT per-edge attention surfaces through ModelOutput
+    (gat_skip.py:170-177 explainability output)."""
+    import jax
+    import numpy as np
+    from graphvqa_tpu.models import PipelineModel
+    from tests.helpers import random_qa_batch, tiny_model_config
+
+    cfg = tiny_model_config("gat")
+    batch = random_qa_batch(cfg=cfg, dense=True)
+    model = PipelineModel(cfg)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "lcgn_ctx": jax.random.key(2)}
+    model_in = batch.replace(programs=batch.programs[:, :-1],
+                             full_answers=batch.full_answers[:, :-1])
+    variables = model.init(rngs, model_in)
+    out = model.apply(variables, model_in, sample=False, deterministic=True,
+                      use_running_average=True, return_edge_attention=True)
+    E = batch.graphs.edges_pad
+    assert out.edge_attention.shape == (
+        cfg.engine.num_rounds, E, cfg.engine.heads)
+    alpha = np.asarray(out.edge_attention)
+    mask = np.asarray(batch.graphs.edge_mask)
+    assert np.all(alpha[:, ~mask] == 0.0)
+    assert np.isfinite(alpha).all()

@@ -52,3 +52,20 @@ def test_native_overflow_raises():
     samples = _samples(seed=4)
     with pytest.raises(ValueError):
         pack_graphs_native(samples, nodes_pad=8, edges_pad=512)
+
+
+def test_native_dense_matches_python():
+    from graphvqa_tpu.core.native import pack_graphs_dense_native
+    from graphvqa_tpu.core.packing import pack_graphs_dense
+    rng = np.random.default_rng(3)
+    samples = [random_sample(rng, int(rng.integers(3, 8)),
+                             int(rng.integers(4, 16))) for _ in range(5)]
+    py = pack_graphs_dense(samples, 8, 16, num_graphs=7)
+    cc = pack_graphs_dense_native(samples, 8, 16, num_graphs=7)
+    assert cc.nodes_per_graph == py.nodes_per_graph
+    assert cc.edges_per_graph == py.edges_per_graph
+    for f in ("node_tokens", "node_graph", "node_mask", "edge_src",
+              "edge_dst", "edge_tokens", "edge_mask", "edge_sym_sign",
+              "exec_bitmap"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(py, f)), np.asarray(getattr(cc, f)), err_msg=f)

@@ -38,28 +38,100 @@ def _mk(kind="gat"):
     return cfg, model, variables, batch
 
 
+def _mk_dropout_free(kind="gat", seed=0):
+    m = tiny_model_config(kind)
+    m = dataclasses.replace(
+        m,
+        transformer=dataclasses.replace(m.transformer, dropout=0.0),
+        engine=dataclasses.replace(m.engine, dropout=0.0),
+        classifier_dropout=0.0,
+    )
+    batch = random_qa_batch(seed=seed, cfg=m)
+    cfg = Config(model=m, batch=BatchConfig(num_graphs=batch.graphs.num_graphs),
+                 train=TrainConfig(use_program_loss=True))
+    model = PipelineModel(m)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "lcgn_ctx": jax.random.key(2)}
+    variables = model.init(rngs, batch.replace(
+        programs=batch.programs[:, :-1],
+        full_answers=batch.full_answers[:, :-1]))
+    return cfg, model, variables, batch
+
+
 def test_dp_step_matches_single_device():
-    cfg, model, variables, batch = _mk()
+    """DP on identical shards must reproduce the single-device step exactly
+    (pmean of identical grads/batch-stats is the identity) — a real gradient
+    check, not just determinism."""
+    cfg, model, variables, batch = _mk_dropout_free()
     n_data = 4
     mesh = make_mesh(data=n_data, edge=1, devices=jax.devices()[:n_data])
-
     state0 = create_train_state(variables)
-    # single-device baseline (deterministic path: dropout=0 via same rng per
-    # shard won't match exactly; instead exploit that identical shards =>
-    # pmean(grad) == per-shard grad, so compare against the DP step itself
-    # with shards permuted)
+
+    single = make_train_step(model, cfg)
+    s1, m1 = single(state0, batch, jax.random.key(3))
+
     dp_step = make_dp_train_step(model, cfg, mesh)
     stacked = stack_shards([batch] * n_data)
     stacked = jax.device_put(stacked, shard_batch_sharding(mesh))
-    new_state, metrics = dp_step(state0, stacked, jax.random.key(3))
-    assert np.isfinite(float(metrics["total"]))
-    assert int(metrics["short_answer_total"]) == n_data * batch.questions.shape[0]
+    s2, m2 = dp_step(state0, stacked, jax.random.key(3))
+    assert int(m2["short_answer_total"]) == n_data * batch.questions.shape[0]
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
 
-    # determinism: same inputs -> same params
-    new_state2, _ = dp_step(state0, stacked, jax.random.key(3))
-    a = jax.tree.leaves(new_state.params)[0]
-    b = jax.tree.leaves(new_state2.params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+def test_dp_step_averages_distinct_shards():
+    """DP on two different shards == Adam update with the mean of the two
+    per-shard gradients (per-shard BatchNorm stats, like DDP)."""
+    from graphvqa_tpu.train.losses import total_loss
+
+    cfg, model, variables, b1 = _mk_dropout_free(seed=0)
+    b2 = random_qa_batch(seed=1, cfg=cfg.model)
+    state0 = create_train_state(variables)
+    mesh = make_mesh(data=2, edge=1, devices=jax.devices()[:2])
+    dp_step = make_dp_train_step(model, cfg, mesh)
+    stacked = stack_shards([b1, b2])
+    stacked = jax.device_put(stacked, shard_batch_sharding(mesh))
+    s_dp, _ = dp_step(state0, stacked, jax.random.key(3))
+
+    # reference: per-shard grads with the DP step's per-shard rng folding
+    def shard_grads(batch, shard_idx):
+        shard_rng = jax.random.fold_in(jax.random.key(3), shard_idx)
+        d_rng, ctx_rng = jax.random.split(
+            jax.random.fold_in(shard_rng, state0.step))
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": state0.batch_stats},
+                batch.replace(programs=batch.programs[:, :-1],
+                              full_answers=batch.full_answers[:, :-1]),
+                sample=False, deterministic=False, use_running_average=False,
+                rngs={"dropout": d_rng, "lcgn_ctx": ctx_rng},
+                mutable=["batch_stats"])
+            loss, _ = total_loss(
+                out, batch.programs[:, 1:], batch.full_answers[:, 1:],
+                batch.short_answer_label, cfg.model.text.pad_idx,
+                bitmap_true=batch.graphs.exec_bitmap,
+                node_mask=batch.graphs.node_mask,
+                use_program_loss=cfg.train.use_program_loss,
+                use_full_answer_loss=cfg.train.use_full_answer_loss,
+                use_bitmap_loss=cfg.train.use_bitmap_loss)
+            return loss
+        return jax.grad(loss_fn)(state0.params)
+
+    g1, g2 = shard_grads(b1, 0), shard_grads(b2, 1)
+    avg = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    s_ref = state0.apply_gradients(avg, new_batch_stats=state0.batch_stats)
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
 
 
 def test_edge_partitioned_matches_reference_math():
