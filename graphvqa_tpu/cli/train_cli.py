@@ -267,6 +267,16 @@ def main(args):
     # mainExplain_gat.py:197-198): each process packs its slice of the epoch
     proc, nproc = jax.process_index(), jax.process_count()
 
+    def eval_batches(ds):
+        it = ds.iter_batches(cfg.batch, shard_index=proc, num_shards=nproc)
+        if args.data_parallel > 1:
+            # GSPMD data-parallel eval: shard every leaf's leading axis
+            from graphvqa_tpu.parallel import make_mesh
+            from graphvqa_tpu.parallel.data_parallel import shard_eval_batches
+            eval_mesh = make_mesh(data=args.data_parallel, edge=1)
+            return shard_eval_batches(it, eval_mesh)
+        return it
+
     if args.evaluate or args.evaluate_sets:
         for split in (args.evaluate_sets or [args.val_split]):
             ds = (val_ds if split == args.val_split else
@@ -275,8 +285,7 @@ def main(args):
             suffix = "" if split == args.val_split else f"_{split}"
             res = validate(
                 eval_step, state,
-                ds.iter_batches(cfg.batch, shard_index=proc,
-                                num_shards=nproc),
+                eval_batches(ds),
                 rng, cfg,
                 text_vocab=text_vocab, label2ans=label2ans,
                 dump_path=str(out_dir / f"dump_results{suffix}.json")

@@ -217,6 +217,24 @@ def dense_gat_aggregate(
     N, H, C = xw.shape
     B, npg, epg = _dense_shapes(graph)
     dt = xw.dtype
+
+    # fully fused Pallas round: one-hot incidence never leaves VMEM
+    # (ops/pallas/fused_dense_gat.py). Gated on a measured win; no dropout /
+    # alpha observability / cross-chip sharding on this path.
+    from graphvqa_tpu.ops.blocked import _use_pallas
+    if (_use_pallas() and graph.edge_axis is None and dropout_rate == 0.0
+            and not return_alpha and dt == jnp.float32):
+        from graphvqa_tpu.ops.pallas.fused_dense_gat import (
+            pallas_fused_dense_gat)
+        dl = (graph.edge_dst % npg).reshape(B, epg)
+        sl = (graph.edge_src % npg).reshape(B, epg)
+        mask = graph.edge_mask.reshape(B, epg).astype(jnp.float32)
+        out = pallas_fused_dense_gat(
+            dl, sl, mask, alpha_l, alpha_r,
+            alpha_e.reshape(B, epg, H), xw.reshape(N, H * C),
+            npg=npg, epg=epg, H=H, C=C, negative_slope=negative_slope)
+        return out.reshape(N, H, C), None
+
     ohd = onehot_dst(graph, dt)
     ohs = onehot_src(graph, dt)
 

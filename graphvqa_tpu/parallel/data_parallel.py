@@ -47,6 +47,18 @@ def shard_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def shard_eval_batches(batches, mesh: Mesh):
+    """Data-parallel evaluation: with the fully-uniform dense layout every
+    QABatch leaf has a leading dim divisible by num_graphs, so sharding
+    axis 0 over the 'data' mesh axis lets GSPMD partition the whole
+    greedy-decode eval step with zero code changes (the DDP-eval equivalent
+    of mainExplain_gat.py:226-229's sampler). Requires batch_size %
+    mesh.shape['data'] == 0."""
+    sh = NamedSharding(mesh, P("data"))
+    for meta, batch in batches:
+        yield meta, jax.device_put(jax.tree.map(jnp.asarray, batch), sh)
+
+
 def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callable:
     pad = cfg.model.text.pad_idx
     tc = cfg.train

@@ -160,3 +160,36 @@ def test_edge_partitioned_matches_reference_math():
               g.node_mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_gspmd_eval_sharding_matches_unsharded():
+    """Data-parallel greedy-decode eval via input sharding (GSPMD) produces
+    identical outputs to the unsharded eval step."""
+    from graphvqa_tpu.parallel.data_parallel import shard_eval_batches
+    from graphvqa_tpu.train.loop import make_eval_step
+
+    cfg, model, variables, batch = _mk_dropout_free()
+    # dense layout with batch divisible by the data axis
+    batch = random_qa_batch(seed=2, num_graphs=4, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16,
+                            cfg=cfg.model)
+    state = create_train_state(model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "lcgn_ctx": jax.random.key(2)},
+        batch.replace(programs=batch.programs[:, :-1],
+                      full_answers=batch.full_answers[:, :-1])))
+    eval_step = make_eval_step(model, cfg)
+    rng = jax.random.key(5)
+
+    vec1, prog1, att1 = eval_step(state, batch, rng)
+
+    mesh = make_mesh(data=2, edge=1, devices=jax.devices()[:2])
+    (meta, sharded), = list(shard_eval_batches(
+        [({"real_count": 4}, batch)], mesh))
+    vec2, prog2, att2 = eval_step(state, sharded, rng)
+
+    np.testing.assert_array_equal(np.asarray(prog1), np.asarray(prog2))
+    np.testing.assert_array_equal(np.asarray(vec1["sa_pred"]),
+                                  np.asarray(vec2["sa_pred"]))
+    np.testing.assert_allclose(np.asarray(att1), np.asarray(att2),
+                               rtol=1e-5, atol=1e-6)
