@@ -87,6 +87,11 @@ def get_args_parser():
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of a few steps of the "
                         "first epoch into this directory (TensorBoard/XProf)")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for transformer/engine matmuls "
+                        "(params and optimizer state stay float32); default "
+                        "is the model config's dtype (float32)")
     p.add_argument("--tiny", action="store_true",
                    help="debug-scale model dims (CI golden tests / smoke "
                         "runs); same architecture and data path, ~100x fewer "
@@ -194,6 +199,7 @@ def main(args):
         text=dataclasses.replace(cfg.model.text, vocab_size=len(text_vocab)),
         scene=dataclasses.replace(cfg.model.scene, vocab_size=len(sg_vocab)),
         use_execution_engine=args.use_execution_engine,
+        **({"dtype": args.dtype} if args.dtype else {}),
     )
     if args.tiny:
         model_cfg = dataclasses.replace(

@@ -1,0 +1,146 @@
+"""PyTorch state_dict -> flax params conversion.
+
+Maps the reference's torch module weights (reference: pipeline_model_gat.py —
+``nn.TransformerEncoder/Decoder`` stacks, ``nn.Linear`` heads,
+``nn.BatchNorm1d``, the custom ``gat`` layer of gat_skip.py:16-108) onto this
+framework's parameter trees, so activations can be compared layer by layer
+(BASELINE.md: "per-layer activation parity vs PyTorch: allclose") and torch
+checkpoints can be brought over.
+
+All functions take a plain ``{name: np.ndarray}`` state_dict (what
+``torch.load(...)["model"]`` flattens to via ``{k: v.numpy()}``), so torch
+itself is not required at conversion time.
+
+Conventions converted:
+  * torch ``nn.Linear.weight`` is [out, in] -> flax ``kernel`` [in, out] (T).
+  * torch ``nn.MultiheadAttention`` packs q/k/v into ``in_proj_weight``
+    [3D, D] / ``in_proj_bias`` [3D] -> split into thirds, in q, k, v order
+    (torch source: F.multi_head_attention_forward), one TorchLinear each.
+  * torch ``nn.LayerNorm``/``BatchNorm1d`` weight/bias -> scale/bias; BN
+    running_mean/var -> the ``batch_stats`` collection.
+  * the reference ``gat`` layer's ``lin_l.weight`` ([H*C, in], shared with
+    lin_r, gat_skip.py:76-77) -> ``lin_lr`` [in, H*C]; ``att_l/att_r/att_e``
+    [1, H, C] -> [H, C]; ``bias`` [C] unchanged.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+Params = Dict[str, object]
+
+
+def convert_linear(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """torch nn.Linear '<prefix>.weight/.bias' -> TorchLinear kernel/bias."""
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def convert_layernorm(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_mha(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """torch nn.MultiheadAttention -> MultiheadAttention (q/k/v/out proj).
+
+    Splits the packed ``in_proj_weight`` [3D, D] into q/k/v thirds (that
+    order), transposing each to flax layout.
+    """
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    d = w.shape[1]
+    assert w.shape[0] == 3 * d, (w.shape, "in_proj_weight must be [3D, D]")
+    out: Params = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {
+            "kernel": np.ascontiguousarray(w[i * d:(i + 1) * d].T),
+            "bias": b[i * d:(i + 1) * d],
+        }
+    out["out_proj"] = convert_linear(sd, f"{prefix}.out_proj")
+    return out
+
+
+def convert_encoder_layer(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """torch nn.TransformerEncoderLayer -> EncoderLayer params."""
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+        "norm1": convert_layernorm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layernorm(sd, f"{prefix}.norm2"),
+    }
+
+
+def convert_decoder_layer(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """torch nn.TransformerDecoderLayer -> DecoderLayer params.
+
+    Torch names the cross attention ``multihead_attn``
+    (pipeline_model_gat.py uses the stock layer).
+    """
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "cross_attn": convert_mha(sd, f"{prefix}.multihead_attn"),
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+        "norm1": convert_layernorm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layernorm(sd, f"{prefix}.norm2"),
+        "norm3": convert_layernorm(sd, f"{prefix}.norm3"),
+    }
+
+
+def convert_transformer_stack(
+    sd: Mapping[str, np.ndarray],
+    prefix: str,
+    num_layers: int,
+    decoder: bool = False,
+    norm_prefix: str = "",
+) -> Params:
+    """torch nn.TransformerEncoder/Decoder -> TransformerEncoder/Decoder.
+
+    ``norm_prefix`` names the stack-final LayerNorm; torch stores it at
+    ``<prefix>.norm`` when constructed with ``norm=...`` (the reference always
+    does: pipeline_model_gat.py:645-649,341,459).
+    """
+    conv = convert_decoder_layer if decoder else convert_encoder_layer
+    out: Params = {
+        f"layer_{i}": conv(sd, f"{prefix}.layers.{i}")
+        for i in range(num_layers)
+    }
+    out["final_norm"] = convert_layernorm(sd, norm_prefix or f"{prefix}.norm")
+    return out
+
+
+def convert_batchnorm1d(sd: Mapping[str, np.ndarray], prefix: str):
+    """torch nn.BatchNorm1d -> (params, batch_stats) for MaskedBatchNorm."""
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def convert_gat_layer(sd: Mapping[str, np.ndarray], prefix: str = "") -> Params:
+    """Reference ``gat`` layer (gat_skip.py:70-108) -> GATLayer params.
+
+    ``lin_l`` and ``lin_r`` share one weight in the reference
+    (gat_skip.py:76-77) — only ``lin_l.weight`` is read. The attention
+    parameter tensors are stored [1, H, C].
+    """
+    p = (prefix + ".") if prefix else ""
+    return {
+        "lin_lr": np.ascontiguousarray(sd[f"{p}lin_l.weight"].T),
+        "lin_e": np.ascontiguousarray(sd[f"{p}lin_e.weight"].T),
+        "att_l": sd[f"{p}att_l"].reshape(sd[f"{p}att_l"].shape[-2:]),
+        "att_r": sd[f"{p}att_r"].reshape(sd[f"{p}att_r"].shape[-2:]),
+        "att_e": sd[f"{p}att_e"].reshape(sd[f"{p}att_e"].shape[-2:]),
+        "bias": sd[f"{p}bias"],
+    }
+
+
+def to_jax(tree):
+    """np -> jnp leaves (applied last so conversion itself is torch/jax-free)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, tree)

@@ -49,7 +49,7 @@ class GlorotLinear(nn.Module):
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", glorot, (x.shape[-1], self.features))
-        y = jnp.dot(x, kernel.astype(self.dtype),
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                     preferred_element_type=jnp.float32).astype(self.dtype)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
@@ -138,7 +138,15 @@ class GATLayer(nn.Module):
         ins: Optional[jax.Array] = None,    # [B, ins_dim] per-graph vectors
         deterministic: bool = True,
         return_alpha: bool = False,
+        alpha_e_base: Optional[jax.Array] = None,
+        static_edge_att_only: bool = False,
     ):
+        """``static_edge_att_only`` returns this layer's collapsed edge-score
+        matrix ``we_att[:e_c]`` [e_c, H] without touching the data — the
+        caller (GATSeq) stacks all rounds' matrices and projects the static
+        ``edge_attr`` ONCE for the whole sequence, then feeds the slice back
+        per round via ``alpha_e_base`` (one [E, e_c] read instead of one per
+        round)."""
         H, C = self.heads, self.out_channels
         N = graph.nodes_pad
         ins_dim = 0 if ins is None else ins.shape[-1]
@@ -150,6 +158,10 @@ class GATLayer(nn.Module):
         att_r = self.param("att_r", glorot, (H, C))
         att_e = self.param("att_e", glorot, (H, C))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if static_edge_att_only:
+            we_att = (we.reshape(-1, H, C) * att_e[None]).sum(-1)
+            return we_att[: edge_attr.shape[-1]]
 
         dt = self.dtype
         xw = jnp.dot(x.astype(dt), w[: x.shape[-1]].astype(dt),
@@ -170,9 +182,12 @@ class GATLayer(nn.Module):
 
         # collapsed edge-attention projection: [e_c(+ins), H]
         we_att = (we.reshape(-1, H, C) * att_e[None]).sum(-1)     # [e_c+ins, H]
-        alpha_e = jnp.dot(edge_attr.astype(dt),
-                          we_att[: edge_attr.shape[-1]].astype(dt),
-                          preferred_element_type=jnp.float32)      # [E, H]
+        if alpha_e_base is None:
+            alpha_e = jnp.dot(edge_attr.astype(dt),
+                              we_att[: edge_attr.shape[-1]].astype(dt),
+                              preferred_element_type=jnp.float32)  # [E, H]
+        else:
+            alpha_e = alpha_e_base
         if ins is not None:
             ins_e = jnp.dot(ins.astype(dt),
                             we_att[edge_attr.shape[-1]:].astype(dt),
@@ -190,10 +205,11 @@ class GATLayer(nn.Module):
         apply_dropout = self.dropout > 0.0 and not deterministic
         alpha_out = None
         if graph.has_dense_layout:
-            # MXU path: batched per-graph dense matmul (ops/dense.py)
+            # MXU path: batched per-graph dense matmul (ops/dense.py);
+            # returns head-averaged [N, C] directly
             from graphvqa_tpu.ops.dense import dense_gat_aggregate
             drop_rng = self.make_rng("dropout") if apply_dropout else None
-            out3, alpha_out = dense_gat_aggregate(
+            out2, alpha_out = dense_gat_aggregate(
                 graph, xw, alpha_l, alpha_r, alpha_e,
                 negative_slope=self.negative_slope,
                 return_alpha=return_alpha,
@@ -209,6 +225,7 @@ class GATLayer(nn.Module):
                 return_alpha=return_alpha,
                 dropout_rate=self.dropout if apply_dropout else 0.0,
                 dropout_rng=drop_rng)
+            out2 = out3.mean(axis=1)   # concat=False: mean over heads
         else:
             logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
                       + jnp.take(alpha_r, graph.edge_dst, axis=0)
@@ -223,7 +240,8 @@ class GATLayer(nn.Module):
             out3 = scatter_edges_to_nodes(msgs, graph.edge_dst, N,
                                           edge_mask=graph.edge_mask)
             alpha_out = alpha if return_alpha else None
-        out = out3.mean(axis=1) + bias   # concat=False: mean over heads
+            out2 = out3.mean(axis=1)   # concat=False: mean over heads
+        out = out2 + bias
         out = jnp.where(graph.node_mask[:, None], out, 0.0)
         if return_alpha:
             return out, alpha_out
@@ -254,14 +272,32 @@ class GATSeq(nn.Module):
         """When ``return_alpha`` is set, also returns the per-round per-edge
         attention weights [num_rounds, E, H] in flat edge order (the
         reference's optional explainability output, gat_skip.py:170-177)."""
+        layers = [
+            GATLayer(self.out_channels, self.heads, self.negative_slope,
+                     self.dropout, self.dtype, name=f"conv_{i}")
+            for i in range(self.num_rounds)
+        ]
+        # hoist the round-invariant edge-attention projection: edge_attr is
+        # static across rounds, so project it through ALL rounds' collapsed
+        # [e_c, H] score matrices in one [E, e_c] x [e_c, R*H] matmul instead
+        # of re-reading the [E, e_c] array every round
+        H = self.heads
+        dt = self.dtype
+        we_att_all = jnp.concatenate(
+            [layers[i](graph, x, edge_attr, ins=instr_vectors[i],
+                       static_edge_att_only=True)
+             for i in range(self.num_rounds)], axis=-1)      # [e_c, R*H]
+        alpha_e_all = jnp.dot(edge_attr.astype(dt), we_att_all.astype(dt),
+                              preferred_element_type=jnp.float32)  # [E, R*H]
+
         h = x
         alphas = []
         for i in range(self.num_rounds):
             ins = instr_vectors[i]                          # [B, ins_dim]
-            conv = GATLayer(self.out_channels, self.heads, self.negative_slope,
-                            self.dropout, self.dtype, name=f"conv_{i}")(
+            conv = layers[i](
                 graph, h, edge_attr, ins=ins, deterministic=deterministic,
-                return_alpha=return_alpha)
+                return_alpha=return_alpha,
+                alpha_e_base=alpha_e_all[:, i * H:(i + 1) * H])
             if return_alpha:
                 conv, alpha = conv
                 alphas.append(alpha)

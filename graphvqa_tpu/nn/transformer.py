@@ -45,7 +45,9 @@ class TorchLinear(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", _torch_linear_init, (fan_in, self.features))
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        # cast the input too: a mixed f32 x bf16 dot upcasts and misses the
+        # MXU's native bf16 path (and leaks f32 into downstream bf16 buffers)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
             y = y + bias.astype(self.dtype)
@@ -163,13 +165,13 @@ class EncoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             src, src, src, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ff = TorchLinear(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -186,9 +188,9 @@ class DecoderLayer(nn.Module):
         self.cross_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, self.dtype,
             name="cross_attn")
-        self.norm1 = nn.LayerNorm(name="norm1")
-        self.norm2 = nn.LayerNorm(name="norm2")
-        self.norm3 = nn.LayerNorm(name="norm3")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         self.linear1 = TorchLinear(self.ffn_dim, dtype=self.dtype,
                                    name="linear1")
         self.linear2 = TorchLinear(self.d_model, dtype=self.dtype,
@@ -252,7 +254,7 @@ class TransformerEncoder(nn.Module):
             x = EncoderLayer(self.d_model, self.num_heads, self.ffn_dim,
                              self.dropout, self.dtype, name=f"layer_{i}")(
                 x, deterministic=deterministic)
-        return nn.LayerNorm(name="final_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
 
 
 class TransformerDecoder(nn.Module):
@@ -268,7 +270,7 @@ class TransformerDecoder(nn.Module):
             DecoderLayer(self.d_model, self.num_heads, self.ffn_dim,
                          self.dropout, self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)]
-        self.final_norm = nn.LayerNorm(name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
 
     def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
         x = tgt

@@ -101,22 +101,24 @@ def dense_aggregate_edges(
     raise ValueError(f"unknown reduce: {reduce}")
 
 
-def dense_segment_softmax(
+def _dense_softmax_stats(
     graph: GraphBatch,
     logits: jax.Array,           # [E, H] flat per-edge logits
-    oh_dst: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Destination softmax over edges, scatter-free -> [E, H].
+    oh_dst: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """The two reduction passes of the destination softmax.
 
-    Exact semantics of torch_geometric.utils.softmax (K3): per-destination
-    max subtraction, exp, per-destination sum, divide (+1e-16); masked lanes
-    return 0. The max is a fused masked reduce over the one-hot expansion;
-    the sum and the per-edge re-broadcasts are batched matmuls.
+    Returns ``(expd, denom)``: ``expd`` [B, epg, H] is the masked, max-shifted
+    exp of each edge's logit; ``denom`` [B, npg, H] the per-destination sum
+    (WITHOUT the +1e-16 — callers add it where they divide). Splitting the
+    stats from the per-edge normalization lets :func:`dense_gat_aggregate`
+    divide once per destination *after* aggregation instead of re-broadcasting
+    the denominator to every edge (exactly equal math: the division by the
+    destination's denominator distributes out of the destination sum).
     """
     B, npg, epg = _dense_shapes(graph)
     H = logits.shape[-1]
-    oh = onehot_dst(graph, logits.dtype) if oh_dst is None else oh_dst
-    ohb = oh != 0
+    ohb = oh_dst != 0
     lg = jnp.where(graph.edge_mask[:, None], logits, _NEG_INF)
     lg = lg.reshape(B, epg, H)
 
@@ -137,21 +139,41 @@ def dense_segment_softmax(
     seg_max = jnp.maximum(seg_max, _NEG_INF)
 
     # re-broadcast per edge via the incidence matmul, then exp
-    max_e = jnp.einsum("bei,bih->beh", oh, seg_max,
+    max_e = jnp.einsum("bei,bih->beh", oh_dst, seg_max,
                        preferred_element_type=jnp.float32)   # [B, epg, H]
     shifted = lg - max_e
     mask3 = graph.edge_mask.reshape(B, epg)[:, :, None]
     shifted = jnp.where(mask3, shifted, 0.0)
     expd = jnp.where(mask3, jnp.exp(jnp.minimum(shifted, 0.0)), 0.0)
 
-    denom = jnp.einsum("bei,beh->bih", oh, expd,
+    denom = jnp.einsum("bei,beh->bih", oh_dst, expd,
                        preferred_element_type=jnp.float32)   # [B, npg, H]
     if graph.edge_axis is not None:
         # cross-partition pass 2: global normalizer
         denom = jax.lax.psum(denom, graph.edge_axis)
+    return expd, denom
+
+
+def dense_segment_softmax(
+    graph: GraphBatch,
+    logits: jax.Array,           # [E, H] flat per-edge logits
+    oh_dst: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Destination softmax over edges, scatter-free -> [E, H].
+
+    Exact semantics of torch_geometric.utils.softmax (K3): per-destination
+    max subtraction, exp, per-destination sum, divide (+1e-16); masked lanes
+    return 0. The max is a fused masked reduce over the one-hot expansion;
+    the sum and the per-edge re-broadcasts are batched matmuls.
+    """
+    B, npg, epg = _dense_shapes(graph)
+    H = logits.shape[-1]
+    oh = onehot_dst(graph, logits.dtype) if oh_dst is None else oh_dst
+    expd, denom = _dense_softmax_stats(graph, logits, oh)
     denom_e = jnp.einsum("bei,bih->beh", oh, denom,
                          preferred_element_type=jnp.float32) + _SOFTMAX_EPS
     alpha = expd / denom_e
+    mask3 = graph.edge_mask.reshape(B, epg)[:, :, None]
     alpha = jnp.where(mask3, alpha, 0.0)
     return alpha.reshape(B * epg, H).astype(logits.dtype)
 
@@ -165,33 +187,52 @@ def dense_scatter_matmul(
 ) -> jax.Array:
     """out[dst] = sum_{e: src->dst} edge_weights[e] * values[src]  -> [N, H, C].
 
-    The SpMM of K4 as two chained batched matmuls per head:
-        P_h = (oh_dst * w_h)^T @ oh_src          [B, npg, npg]
-        out_h = P_h @ values_h                   [B, npg, C]
+    The SpMM of K4 as two chained batched matmuls, all heads in ONE
+    contraction each (the one-hot operands are read once, not once per head):
+        P   = (oh_dst ⊗_H w)^T @ oh_src          [B, H, npg, npg]
+        out = P @ values                         [B, H, npg, C]
     Parallel (src, dst) edges accumulate in P — exact post-normalization.
     """
     N, H, C = values.shape
     B, npg, epg = _dense_shapes(graph)
     dt = values.dtype
+    p = _dense_edge_weight_matrix(graph, edge_weights, dt, oh_dst, oh_src)
+    v = values.reshape(B, npg, H, C)
+    out = jnp.einsum("bhij,bjhc->bihc", p.astype(dt), v,
+                     preferred_element_type=jnp.float32)     # [B, npg, H, C]
+    return out.reshape(N, H, C).astype(dt)
+
+
+def _dense_edge_weight_matrix(
+    graph: GraphBatch,
+    edge_weights: jax.Array,     # [E, H] flat per-edge weights
+    dt,
+    oh_dst: Optional[jax.Array] = None,
+    oh_src: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-graph per-head edge-weight matrix P [B, H, npg, npg] (f32).
+
+    P[b, h, i, j] = sum over edges e of graph b with src j, dst i of
+    ``edge_weights[e, h]``. One batched [B, epg, H*npg] x [B, epg, npg]
+    contraction for all heads; the elementwise ``oh_dst * w`` operand fuses
+    into the dot's lhs read.
+    """
+    B, npg, epg = _dense_shapes(graph)
+    H = edge_weights.shape[-1]
     ohd = onehot_dst(graph, dt) if oh_dst is None else oh_dst
     ohs = onehot_src(graph, dt) if oh_src is None else oh_src
     w = jnp.where(graph.edge_mask[:, None], edge_weights, 0.0)
     # match the compute dtype so a bf16 engine runs the P build on the
     # MXU's native path (accumulation stays f32 via preferred_element_type)
     w = w.reshape(B, epg, H).astype(dt)
-    v = values.reshape(B, npg, H, C)
-    outs = []
-    for h in range(H):
-        p = jnp.einsum("bei,bej->bij", ohd * w[:, :, h:h + 1], ohs,
-                       preferred_element_type=jnp.float32)   # [B, npg, npg]
-        if graph.edge_axis is not None:
-            # combine partial per-graph edge-weight matrices across edge
-            # shards (cheaper than psumming the [N, H, C] output)
-            p = jax.lax.psum(p, graph.edge_axis)
-        outs.append(jnp.einsum("bij,bjc->bic", p, v[:, :, h, :],
-                               preferred_element_type=jnp.float32))
-    out = jnp.stack(outs, axis=2)                            # [B, npg, H, C]
-    return out.reshape(N, H, C).astype(dt)
+    ohdw = ohd[:, :, None, :] * w[:, :, :, None]             # [B, epg, H, npg]
+    p = jnp.einsum("behi,bej->bhij", ohdw, ohs,
+                   preferred_element_type=jnp.float32)       # [B, H, npg, npg]
+    if graph.edge_axis is not None:
+        # combine partial per-graph edge-weight matrices across edge
+        # shards (cheaper than psumming the [N, H, C] output)
+        p = jax.lax.psum(p, graph.edge_axis)
+    return p
 
 
 def dense_gat_aggregate(
@@ -208,12 +249,21 @@ def dense_gat_aggregate(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Full GAT round on the uniform dense layout, scatter/gather-free.
 
+    Returns the **head-averaged** [N, C] output (concat=False semantics —
+    averaging before the layout transpose keeps the [B, H, npg, C] aggregate
+    in its natural dot_general order) plus optionally the per-edge attention
+    [E, H].
+
     SDDMM logits (gat_skip.py:180-208) come from incidence matmuls against
-    the per-node score vectors; softmax is :func:`dense_segment_softmax`;
-    aggregation is :func:`dense_scatter_matmul`. Bit-compatible with the flat
-    segment path up to fp reassociation of the destination sums.
+    the per-node score vectors. The softmax normalization happens AFTER
+    aggregation: out_i = (sum_e expd_e * v_src) / denom_i — exactly equal to
+    normalizing per edge (the division distributes out of the destination
+    sum), but it skips the per-edge denominator re-broadcast matmul, and the
+    P build runs once for all heads. Attention dropout commutes with the
+    division (it is a per-edge mask/scale), so it applies to ``expd``.
+    Bit-compatible with the flat segment path up to fp reassociation.
     """
-    del softmax_eps  # fixed to the torch_geometric 1e-16 in dense_segment_softmax
+    del softmax_eps  # fixed to the torch_geometric 1e-16 of the stats pass
     N, H, C = xw.shape
     B, npg, epg = _dense_shapes(graph)
     dt = xw.dtype
@@ -233,7 +283,7 @@ def dense_gat_aggregate(
             dl, sl, mask, alpha_l, alpha_r,
             alpha_e.reshape(B, epg, H), xw.reshape(N, H * C),
             npg=npg, epg=epg, H=H, C=C, negative_slope=negative_slope)
-        return out.reshape(N, H, C), None
+        return out.reshape(N, H, C).mean(axis=1), None
 
     ohd = onehot_dst(graph, dt)
     ohs = onehot_src(graph, dt)
@@ -245,13 +295,31 @@ def dense_gat_aggregate(
     logits = (al + ar).reshape(B * epg, H) + alpha_e
     logits = jax.nn.leaky_relu(logits, negative_slope)
 
-    alpha = dense_segment_softmax(graph, logits, oh_dst=ohd)
+    expd, denom = _dense_softmax_stats(graph, logits, ohd)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = 1.0 - dropout_rate
-        alpha = alpha * jax.random.bernoulli(
-            dropout_rng, keep, alpha.shape).astype(alpha.dtype) / keep
-    out = dense_scatter_matmul(graph, alpha, xw, oh_dst=ohd, oh_src=ohs)
-    return out, (alpha if return_alpha else None)
+        expd = expd * (jax.random.bernoulli(
+            dropout_rng, keep, (B * epg, H)).astype(expd.dtype)
+            / keep).reshape(B, epg, H)
+
+    p = _dense_edge_weight_matrix(graph, expd.reshape(B * epg, H), dt,
+                                  oh_dst=ohd, oh_src=ohs)    # [B, H, npg, npg]
+    # normalize P's destination rows (33 MB) instead of the [B, H, npg, C]
+    # aggregate (157 MB), folding the concat=False head-mean 1/H in too;
+    # the head average itself rides the contraction below (sum over h)
+    recip = (1.0 / H) / (denom + _SOFTMAX_EPS)               # [B, npg, H]
+    p = p * recip.transpose(0, 2, 1)[:, :, :, None]
+    v = xw.reshape(B, npg, H, C)
+    out = jnp.einsum("bhij,bjhc->bic", p.astype(dt), v,
+                     preferred_element_type=jnp.float32)     # [B, npg, C]
+    out = out.reshape(N, C).astype(dt)
+
+    alpha_ret = None
+    if return_alpha:
+        denom_e = jnp.einsum("bei,bih->beh", ohd, denom,
+                             preferred_element_type=jnp.float32) + _SOFTMAX_EPS
+        alpha_ret = (expd / denom_e).reshape(B * epg, H).astype(dt)
+    return out, alpha_ret
 
 
 def broadcast_to_nodes(graph: GraphBatch, values: jax.Array) -> jax.Array:

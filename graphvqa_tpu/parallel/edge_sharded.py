@@ -18,7 +18,7 @@ training step, composed with data parallelism on one mesh:
     tests/test_edge_sharded.py).
 
 Comm volume per GAT round rides ICI: one [B, npg, H] pmax + one psum
-(softmax passes) + H psums of [B, npg, npg] partial edge-weight matrices —
+(softmax passes) + one psum of [B, H, npg, npg] partial edge-weight matrices —
 independent of per-shard edge count, and far smaller than psumming [N, H, C]
 node messages.
 """

@@ -23,7 +23,11 @@ ASSETS = pathlib.Path(__file__).resolve().parent.parent / "graphvqa_tpu" / \
 
 
 @pytest.mark.slow
-def test_overfit_debug_fixture_to_100pct(tmp_path):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_overfit_debug_fixture_to_100pct(tmp_path, dtype):
+    """The bfloat16 variant is the accuracy-parity evidence that the bf16
+    engine (the bench headline's fast path) learns as well as float32 —
+    same CLI, same data, same 100% bar."""
     root = tmp_path / "data"
     (root / "questions").mkdir(parents=True)
     (root / "sceneGraphs").mkdir()
@@ -37,7 +41,7 @@ def test_overfit_debug_fixture_to_100pct(tmp_path):
         "--split", "debug", "--val-split", "debug",
         "--batch-size", "4", "--nodes-per-graph", "32",
         "--edges-per-graph", "64", "--output_dir", str(out),
-        "--print-freq", "1000",
+        "--print-freq", "1000", "--dtype", dtype,
     ]
     parser = get_args_parser()
 

@@ -36,6 +36,12 @@ def main():
         jax.random.normal(jax.random.fold_in(key, 2), (E, H)), axis=0)
     alpha_n = jax.random.normal(jax.random.fold_in(key, 3), (N, H)) * 0.1
 
+    def fold(x, s):
+        """Fold a scalar into the chain carry WITHOUT letting XLA dead-code
+        eliminate the computation: multiply by a tiny non-zero constant
+        (``* 0.0`` is constant-folded and the whole producer is DCE'd)."""
+        return x + s.astype(x.dtype) * 1e-30
+
     def timed(name, fn, *args, reps=(4, 40)):
         @functools.partial(jax.jit, static_argnums=0)
         def chain(n, *a):
@@ -73,7 +79,7 @@ def main():
         al = jnp.take(alpha_n, g.edge_src, axis=0)
         ar = jnp.take(alpha_n, g.edge_dst, axis=0)
         lg = jax.nn.leaky_relu(al + ar, 0.2)
-        return x + lg.sum() * 0.0  # fold into chain carry
+        return fold(x, lg.sum())  # fold into chain carry
     timed("SDDMM gathers+lrelu [E,4]", f_sddmm, x, alpha_n)
 
     # 3. segment softmax on [E, H]
@@ -83,7 +89,7 @@ def main():
               + jnp.take(alpha_n, g.edge_dst, axis=0))
         a = segment_softmax(lg, g.edge_dst, N, mask=g.edge_mask,
                             indices_are_sorted=True)
-        return x + a.sum() * 0.0
+        return fold(x, a.sum())
     timed("SDDMM+segment_softmax [E,4]", f_softmax, x, alpha_n)
 
     # 4a. P scatter, H-last layout ([N*npg, H] segment_sum) — the slow path
@@ -92,7 +98,7 @@ def main():
         ew = jnp.where(g.edge_mask[:, None], attn, 0.0)
         idx = g.edge_dst * npg + sl
         a = jax.ops.segment_sum(ew, idx, num_segments=N * npg)
-        return x + a.sum() * 0.0
+        return fold(x, a.sum())
     timed("P scatter H-last [N*npg,4] (old)", f_scatter_hlast, x, attn)
 
     # 4b. one-hot P build + aggregation (shipped dense_scatter_matmul)
@@ -107,7 +113,7 @@ def main():
     def f_dense_softmax(x, attn):
         from graphvqa_tpu.ops.dense import dense_segment_softmax
         a = dense_segment_softmax(g, attn)
-        return x + a.sum() * 0.0
+        return fold(x, a.sum())
     timed("dense_segment_softmax", f_dense_softmax, x, attn)
 
     # 4d. per-edge message aggregation via one-hot (MetaLayer/GINE path)
@@ -115,7 +121,7 @@ def main():
         from graphvqa_tpu.ops.dense import dense_aggregate_edges
         msgs = jnp.take(x, g.edge_src, axis=0)  # [E, 300]
         out = dense_aggregate_edges(g, msgs, reduce="mean")
-        return out + 0.0 * w[0, 0]
+        return fold(out, w[0, 0])
     timed("dense_aggregate_edges [E,300] mean", f_dense_aggregate, x, w)
 
     # 5a. aggregation einsum, H-last P
@@ -125,7 +131,7 @@ def main():
     def f_einsum_hlast(x, p, v):
         out = jnp.einsum("bijh,bjhc->bihc", p, v,
                          preferred_element_type=jnp.float32)
-        return x + out.sum() * 0.0
+        return fold(x, out.sum())
     timed("agg einsum bijh,bjhc f32", f_einsum_hlast, x, p_hlast, xw4)
 
     # 5b. aggregation einsum, [B,H,i,j] P
@@ -135,22 +141,64 @@ def main():
     def f_einsum_bhij(x, p, v):
         out = jnp.einsum("bhij,bhjc->bhic", p, v,
                          preferred_element_type=jnp.float32)
-        return x + out.sum() * 0.0
+        return fold(x, out.sum())
     timed("agg einsum bhij,bhjc f32", f_einsum_bhij, x, p_bhij, xw_bhjc)
 
     def f_einsum_bf16(x, p, v):
         out = jnp.einsum("bhij,bhjc->bhic", p.astype(jnp.bfloat16),
                          v.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
-        return x + out.sum() * 0.0
+        return fold(x, out.sum())
     timed("agg einsum bhij bf16", f_einsum_bf16, x, p_bhij, xw_bhjc)
 
-    # 6. full dense_gat_aggregate as shipped
+    # 5c. P-build/agg variants: per-head loop vs fused-heads contraction,
+    # f32 and bf16 (decides dense_scatter_matmul's internal formulation)
+    from graphvqa_tpu.ops.dense import onehot_dst, onehot_src
+
+    def p_build_perhead(x, attn, dtv=jnp.float32):
+        ohd = onehot_dst(g, dtv)
+        ohs = onehot_src(g, dtv)
+        w = jnp.where(g.edge_mask[:, None], attn, 0.0)
+        w = w.reshape(B, -1, H).astype(dtv)
+        acc = 0.0
+        for h in range(H):
+            p = jnp.einsum("bei,bej->bij", ohd * w[:, :, h:h + 1], ohs,
+                           preferred_element_type=jnp.float32)
+            acc = acc + p.sum()
+        return fold(x, acc)
+    timed("P build per-head f32", p_build_perhead, x, attn)
+
+    def p_build_fused(x, attn, dtv=jnp.float32):
+        from graphvqa_tpu.ops.dense import _dense_edge_weight_matrix
+        p = _dense_edge_weight_matrix(g, attn, dtv)
+        return fold(x, p.sum())
+    timed("P build fused-heads f32", p_build_fused, x, attn)
+    timed("P build per-head bf16",
+          lambda x, a: p_build_perhead(x, a, jnp.bfloat16), x, attn)
+    timed("P build fused-heads bf16",
+          lambda x, a: p_build_fused(x, a, jnp.bfloat16), x, attn)
+
+    def spmm_perhead(x, w, attn):
+        ohd = onehot_dst(g, jnp.float32)
+        ohs = onehot_src(g, jnp.float32)
+        xw = (x @ w).reshape(N, H, C)
+        ew = jnp.where(g.edge_mask[:, None], attn, 0.0).reshape(B, -1, H)
+        v = xw.reshape(B, npg, H, C)
+        outs = []
+        for h in range(H):
+            p = jnp.einsum("bei,bej->bij", ohd * ew[:, :, h:h + 1], ohs,
+                           preferred_element_type=jnp.float32)
+            outs.append(jnp.einsum("bij,bjc->bic", p, v[:, :, h, :],
+                                   preferred_element_type=jnp.float32))
+        return jnp.stack(outs, axis=2).reshape(N, H, C).mean(axis=1)
+    timed("one-hot SpMM per-head (old)", spmm_perhead, x, w, attn)
+
+    # 6. full dense_gat_aggregate as shipped (returns head-averaged [N, C])
     def f_full(x, w, alpha_n, attn):
         from graphvqa_tpu.ops.dense import dense_gat_aggregate
         xw = (x @ w).reshape(N, H, C)
         out, _ = dense_gat_aggregate(g, xw, alpha_n, alpha_n, attn)
-        return out.mean(axis=1)
+        return out
     timed("full dense round (shipped)", f_full, x, w, alpha_n, attn)
 
     # 7. GATLayer full round via flax for reference
@@ -165,7 +213,7 @@ def main():
                             use_running_average=False,
                             mutable=["batch_stats"])
             return y
-        return apply(x) + 0.0 * w[0, 0]
+        return fold(apply(x), w[0, 0])
     timed("masked batchnorm [N,300]", f_batchnorm, x, w)
 
 
