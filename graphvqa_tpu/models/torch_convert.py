@@ -139,6 +139,107 @@ def convert_gat_layer(sd: Mapping[str, np.ndarray], prefix: str = "") -> Params:
     }
 
 
+def _seq2(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """torch ``Seq(Lin, ReLU, Lin)`` (indices 0 and 2) -> MLP2 lin1/lin2."""
+    return {"lin1": convert_linear(sd, f"{prefix}.0"),
+            "lin2": convert_linear(sd, f"{prefix}.2")}
+
+
+def convert_pipeline_gat(
+    sd: Mapping[str, np.ndarray],
+    num_encoder_layers: int = 3,
+    num_decoder_layers: int = 3,
+    num_rounds: int = 5,
+):
+    """Full reference GraphVQA-GAT checkpoint -> this framework's variables.
+
+    Input: the flattened ``{name: np.ndarray}`` of the reference's
+    ``torch.load(ckpt)["model"]`` (module tree built at
+    pipeline_model_gat.py:615-731). Returns ``{"params": ...,
+    "batch_stats": ...}`` matching ``PipelineModel`` with the GAT engine, so
+    a reference user can evaluate their trained model here directly:
+
+        variables = to_jax(convert_pipeline_gat(sd))
+        out = PipelineModel(cfg).apply(variables, batch, ...)
+
+    The reference's full-answer decoder is converted when present
+    (``use_full_answer``); its execution engine is commented out of the
+    released model (pipeline_model_gat.py:668-671) and has no keys to map.
+    """
+    p: Params = {
+        "text_vocab_embedding": {
+            "embedding": sd["text_vocab_embedding.weight"]},
+    }
+
+    sge_base = "scene_graph_encoder.scene_graph_encoding_layer"
+    p["scene_graph_encoder"] = {
+        "sg_vocab_embedding": {
+            "embedding": sd["scene_graph_encoder.sg_vocab_embedding.weight"]},
+        "meta_layer": {
+            "edge_mlp": _seq2(sd, f"{sge_base}.edge_model.edge_mlp"),
+            "node_mlp_1": _seq2(sd, f"{sge_base}.node_model.node_mlp_1"),
+            "node_mlp_2": _seq2(sd, f"{sge_base}.node_model.node_mlp_2"),
+        },
+        # 1-element affine tensors (my_graph_layernorm.py:40-41)
+        "ln_weight": sd["scene_graph_encoder.graph_layer_norm.weight"],
+        "ln_bias": sd["scene_graph_encoder.graph_layer_norm.bias"],
+    }
+
+    p["question_encoder"] = {
+        "emb_proj": convert_linear(sd, "question_encoder.emb_proj"),
+        "encoder": convert_transformer_stack(
+            sd, "question_encoder.transformer_encoder", num_encoder_layers),
+    }
+
+    p["program_decoder"] = {
+        "query_embed": sd["program_decoder.query_embed.weight"],
+        "emb_proj": convert_linear(sd, "program_decoder.emb_proj"),
+        "coarse_decoder": convert_transformer_stack(
+            sd, "program_decoder.coarse_decoder", num_decoder_layers,
+            decoder=True),
+        # the reference names the AR stage 'transformer_decoder'
+        # (pipeline_model_gat.py:341); here it is the fine decoder
+        "fine_decoder": convert_transformer_stack(
+            sd, "program_decoder.transformer_decoder", num_decoder_layers,
+            decoder=True),
+        "vocab_decoder": convert_linear(sd, "program_decoder.vocab_decoder"),
+    }
+
+    if "full_answer_decoder.emb_proj.weight" in sd:
+        p["full_answer_decoder"] = {
+            "emb_proj": convert_linear(sd, "full_answer_decoder.emb_proj"),
+            "decoder": convert_transformer_stack(
+                sd, "full_answer_decoder.transformer_decoder",
+                num_decoder_layers, decoder=True),
+            "vocab_decoder": convert_linear(
+                sd, "full_answer_decoder.vocab_decoder"),
+        }
+
+    engine: Params = {}
+    engine_stats: Params = {}
+    for i in range(num_rounds):
+        engine[f"conv_{i}"] = convert_gat_layer(sd, f"gat_seq.convs.{i}")
+    for i in range(num_rounds - 1):
+        bn_p, bn_s = convert_batchnorm1d(sd, f"gat_seq.bns.{i}")
+        engine[f"bn_{i}"] = bn_p
+        engine_stats[f"bn_{i}"] = bn_s
+    p["engine"] = engine
+
+    pool_base = "graph_global_attention_pooling"
+    p["pooling"] = {
+        "gate_nn": _seq2(sd, f"{pool_base}.gate_nn"),
+        "node_nn": _seq2(sd, f"{pool_base}.node_nn"),
+        "ques_nn": _seq2(sd, f"{pool_base}.ques_nn"),
+    }
+
+    # Sequential(Dropout, Linear, ELU, Dropout, Linear) -> indices 1 and 4
+    # (pipeline_model_gat.py:722-728)
+    p["logit_fc_hidden"] = convert_linear(sd, "logit_fc.1")
+    p["logit_fc_out"] = convert_linear(sd, "logit_fc.4")
+
+    return {"params": p, "batch_stats": {"engine": engine_stats}}
+
+
 def to_jax(tree):
     """np -> jnp leaves (applied last so conversion itself is torch/jax-free)."""
     import jax

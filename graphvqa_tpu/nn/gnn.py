@@ -166,12 +166,16 @@ class GATLayer(nn.Module):
         dt = self.dtype
         xw = jnp.dot(x.astype(dt), w[: x.shape[-1]].astype(dt),
                      preferred_element_type=jnp.float32)
+        ins_value = None   # dense path: per-graph value share, kept at [B, H, C]
         if ins is not None:
             ins_w = jnp.dot(ins.astype(dt), w[x.shape[-1]:].astype(dt),
                             preferred_element_type=jnp.float32)   # [B, H*C]
             if graph.has_dense_layout:
-                from graphvqa_tpu.ops.dense import broadcast_to_nodes
-                xw = xw + broadcast_to_nodes(graph, ins_w)
+                # do NOT broadcast ins into the node values: its attention
+                # share broadcasts at [B, H] and its value share aggregates
+                # per graph via rowsum(P) inside dense_gat_aggregate —
+                # exact algebra, no [N, H*C] traffic
+                ins_value = ins_w.reshape(-1, H, C)
             else:
                 ins_w = jnp.concatenate(
                     [ins_w, jnp.zeros((1, H * C), ins_w.dtype)], axis=0)
@@ -179,6 +183,12 @@ class GATLayer(nn.Module):
         xw = xw.reshape(N, H, C).astype(dt)
         alpha_l = (xw * att_l).sum(-1)   # [N, H]
         alpha_r = (xw * att_r).sum(-1)
+        if ins_value is not None:
+            from graphvqa_tpu.ops.dense import broadcast_to_nodes
+            alpha_l = alpha_l + broadcast_to_nodes(
+                graph, (ins_value * att_l[None]).sum(-1))
+            alpha_r = alpha_r + broadcast_to_nodes(
+                graph, (ins_value * att_r[None]).sum(-1))
 
         # collapsed edge-attention projection: [e_c(+ins), H]
         we_att = (we.reshape(-1, H, C) * att_e[None]).sum(-1)     # [e_c+ins, H]
@@ -214,7 +224,7 @@ class GATLayer(nn.Module):
                 negative_slope=self.negative_slope,
                 return_alpha=return_alpha,
                 dropout_rate=self.dropout if apply_dropout else 0.0,
-                dropout_rng=drop_rng)
+                dropout_rng=drop_rng, ins_value=ins_value)
         elif graph.has_blocked_layout:
             # MXU path: dense one-hot contraction per node block (ops/blocked.py)
             from graphvqa_tpu.ops.blocked import blocked_gat_aggregate

@@ -38,15 +38,22 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # one fused pass over x: sum and sum-of-squares together
+            # (var = E[x^2] - E[x]^2), instead of a second centered pass —
+            # the stats read the [N, C] array once at HBM speed
+            xf = x.astype(jnp.float32)
             if mask is None:
                 count = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean(jnp.square(x - mean), axis=0)
+                s1 = xf.sum(axis=0)
+                s2 = (xf * xf).sum(axis=0)
             else:
                 m = mask.astype(jnp.float32)[:, None]
                 count = jnp.maximum(m.sum(), 1.0)
-                mean = (x * m).sum(axis=0) / count
-                var = (jnp.square(x - mean) * m).sum(axis=0) / count
+                xm = xf * m
+                s1 = xm.sum(axis=0)
+                s2 = (xm * xf).sum(axis=0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
             if not self.is_initializing():
                 # torch tracks *unbiased* variance in running stats
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)

@@ -246,6 +246,7 @@ def dense_gat_aggregate(
     return_alpha: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    ins_value: Optional[jax.Array] = None,   # [B, H, C] per-graph value share
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Full GAT round on the uniform dense layout, scatter/gather-free.
 
@@ -253,6 +254,13 @@ def dense_gat_aggregate(
     averaging before the layout transpose keeps the [B, H, npg, C] aggregate
     in its natural dot_general order) plus optionally the per-edge attention
     [E, H].
+
+    ``ins_value`` is the per-graph (instruction) share of the projected node
+    values. Because every source node of graph b carries the same ins vector,
+    its aggregate is EXACTLY ``rowsum(P_n) ⊗ ins_value`` — a [B, H, npg] x
+    [B, H, C] contraction — so the caller never materializes the [N, H*C]
+    broadcast-add into the node values (2x157 MB of HBM traffic per round on
+    the bench shapes).
 
     SDDMM logits (gat_skip.py:180-208) come from incidence matmuls against
     the per-node score vectors. The softmax normalization happens AFTER
@@ -273,7 +281,8 @@ def dense_gat_aggregate(
     # alpha observability / cross-chip sharding on this path.
     from graphvqa_tpu.ops.blocked import _use_pallas
     if (_use_pallas() and graph.edge_axis is None and dropout_rate == 0.0
-            and not return_alpha and dt == jnp.float32):
+            and not return_alpha and dt == jnp.float32
+            and ins_value is None):
         from graphvqa_tpu.ops.pallas.fused_dense_gat import (
             pallas_fused_dense_gat)
         dl = (graph.edge_dst % npg).reshape(B, epg)
@@ -312,6 +321,14 @@ def dense_gat_aggregate(
     v = xw.reshape(B, npg, H, C)
     out = jnp.einsum("bhij,bjhc->bic", p.astype(dt), v,
                      preferred_element_type=jnp.float32)     # [B, npg, C]
+    if ins_value is not None:
+        # per-graph value share: P_n applied to a per-graph constant is
+        # rowsum(P_n) times that constant (exact, incl. dropout and the
+        # +eps in recip — the row sums carry both)
+        rowsum = p.sum(axis=3)                               # [B, H, npg]
+        out = out + jnp.einsum("bhi,bhc->bic", rowsum.astype(dt),
+                               ins_value.astype(dt),
+                               preferred_element_type=jnp.float32)
     out = out.reshape(N, C).astype(dt)
 
     alpha_ret = None
