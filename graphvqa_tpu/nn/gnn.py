@@ -164,31 +164,50 @@ class GATLayer(nn.Module):
             return we_att[: edge_attr.shape[-1]]
 
         dt = self.dtype
-        xw = jnp.dot(x.astype(dt), w[: x.shape[-1]].astype(dt),
-                     preferred_element_type=jnp.float32)
+        x_dim = x.shape[-1]
         ins_value = None   # dense path: per-graph value share, kept at [B, H, C]
-        if ins is not None:
-            ins_w = jnp.dot(ins.astype(dt), w[x.shape[-1]:].astype(dt),
-                            preferred_element_type=jnp.float32)   # [B, H*C]
-            if graph.has_dense_layout:
-                # do NOT broadcast ins into the node values: its attention
-                # share broadcasts at [B, H] and its value share aggregates
-                # per graph via rowsum(P) inside dense_gat_aggregate —
-                # exact algebra, no [N, H*C] traffic
+        if graph.has_dense_layout:
+            # dense path: three exact collapses keep ALL per-round work on
+            # [N, H*C]-or-smaller arrays read once —
+            #  1. alpha_l/alpha_r fold into the projection matmul as two
+            #     extra output columns per head ((x@W · att).sum(-1) ==
+            #     x @ (W·att));
+            #  2. the per-graph instruction vector never broadcasts to nodes:
+            #     its attention share adds at [B, H], its value share
+            #     aggregates via rowsum(P) inside dense_gat_aggregate;
+            #  3. the static edge projection arrives precomputed
+            #     (alpha_e_base, hoisted across rounds by GATSeq).
+            from graphvqa_tpu.ops.dense import broadcast_to_nodes
+            w3 = w.reshape(-1, H, C)
+            wa_l = (w3 * att_l[None]).sum(-1)          # [x_dim+ins, H]
+            wa_r = (w3 * att_r[None]).sum(-1)
+            w_aug = jnp.concatenate(
+                [w[:x_dim], wa_l[:x_dim], wa_r[:x_dim]], axis=1)
+            proj = jnp.dot(x.astype(dt), w_aug.astype(dt),
+                           preferred_element_type=jnp.float32)  # [N, H*C+2H]
+            xw = proj[:, :H * C].reshape(N, H, C).astype(dt)
+            alpha_l = proj[:, H * C:H * C + H]
+            alpha_r = proj[:, H * C + H:]
+            if ins is not None:
+                ins_w = jnp.dot(ins.astype(dt), w[x_dim:].astype(dt),
+                                preferred_element_type=jnp.float32)  # [B, H*C]
                 ins_value = ins_w.reshape(-1, H, C)
-            else:
+                alpha_l = alpha_l + broadcast_to_nodes(
+                    graph, (ins_value * att_l[None]).sum(-1))
+                alpha_r = alpha_r + broadcast_to_nodes(
+                    graph, (ins_value * att_r[None]).sum(-1))
+        else:
+            xw = jnp.dot(x.astype(dt), w[:x_dim].astype(dt),
+                         preferred_element_type=jnp.float32)
+            if ins is not None:
+                ins_w = jnp.dot(ins.astype(dt), w[x_dim:].astype(dt),
+                                preferred_element_type=jnp.float32)  # [B, H*C]
                 ins_w = jnp.concatenate(
                     [ins_w, jnp.zeros((1, H * C), ins_w.dtype)], axis=0)
                 xw = xw + jnp.take(ins_w, graph.node_graph, axis=0)
-        xw = xw.reshape(N, H, C).astype(dt)
-        alpha_l = (xw * att_l).sum(-1)   # [N, H]
-        alpha_r = (xw * att_r).sum(-1)
-        if ins_value is not None:
-            from graphvqa_tpu.ops.dense import broadcast_to_nodes
-            alpha_l = alpha_l + broadcast_to_nodes(
-                graph, (ins_value * att_l[None]).sum(-1))
-            alpha_r = alpha_r + broadcast_to_nodes(
-                graph, (ins_value * att_r[None]).sum(-1))
+            xw = xw.reshape(N, H, C).astype(dt)
+            alpha_l = (xw * att_l).sum(-1)   # [N, H]
+            alpha_r = (xw * att_r).sum(-1)
 
         # collapsed edge-attention projection: [e_c(+ins), H]
         we_att = (we.reshape(-1, H, C) * att_e[None]).sum(-1)     # [e_c+ins, H]
