@@ -25,9 +25,9 @@ def _log(*a):
 
 
 def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
-               sort_by_dst=True, blocked=False, dense=False):
+               sort_by_dst=True, dense=False):
     from graphvqa_tpu.core.packing import (
-        GraphSample, build_blocked_edges, pack_graphs, pack_graphs_dense,
+        GraphSample, pack_graphs, pack_graphs_dense,
         pick_bucket, pick_dense_epg, pick_dense_npg)
 
     rng = np.random.default_rng(seed)
@@ -51,8 +51,6 @@ def make_batch(num_graphs=512, avg_nodes=17, avg_edges=90, seed=0,
         gb = pack_graphs_dense(samples, npg, epg)
         return gb, total_edges
     gb = pack_graphs(samples, n_pad, e_pad, sort_by_dst=sort_by_dst)
-    if blocked:
-        gb = build_blocked_edges(gb, block_nodes=16, slots_per_node=16)
     return gb, total_edges
 
 

@@ -95,7 +95,7 @@ class BatchConfig:
     nodes_pad, edges_pad) buckets so every jit trace has static shapes.
     """
     num_graphs: int = 32
-    nodes_pad: int = 1024           # total nodes across the batch, padded (flat/blocked layouts)
+    nodes_pad: int = 1024           # total nodes across the batch, padded (flat layout)
     edges_pad: int = 4096           # total edges across the batch, dst-sorted + padded
     question_len: int = 32
     program_len: int = 16
@@ -105,13 +105,10 @@ class BatchConfig:
     #             (core/packing.py:pack_graphs_dense + ops/dense.py); the
     #             production path. Falls back to flat for a batch whose
     #             largest graph exceeds nodes_per_graph.
-    #   blocked — ELL+spill one-hot contraction (core/packing.py:build_blocked_edges)
     #   flat    — dst-sorted edge list + XLA segment ops (the oracle path)
     layout: str = "dense"
     nodes_per_graph: int = 64
     edges_per_graph: int = 256
-    block_nodes: int = 16
-    slots_per_node: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

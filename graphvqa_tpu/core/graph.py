@@ -58,28 +58,6 @@ class GraphBatch:
     exec_bitmap: jax.Array
     num_graphs: int = struct.field(pytree_node=False)
 
-    # Optional blocked (ELL + spill) edge layout for the MXU aggregation path
-    # (core/packing.py:build_blocked_edges). Destination nodes are grouped in
-    # blocks of ``block_nodes``; each block owns ``BE`` edge slots whose
-    # destinations fall in its node range, and overflow edges spill to a small
-    # COO tail aggregated with the ordinary segment path.
-    #   blk_src      : [nb, BE] global source index (pad -> nodes_pad-1)
-    #   blk_dst_local: [nb, BE] destination index within the block [0, BN)
-    #   blk_mask     : [nb, BE]
-    #   blk_edge_perm: [nb, BE] index into the flat edge arrays (pad -> edges_pad-1)
-    #   spill_perm   : [S] flat edge index of spilled edges (pad -> edges_pad-1)
-    #   spill_mask   : [S]
-    blk_src: Optional[jax.Array] = None
-    blk_dst_local: Optional[jax.Array] = None
-    blk_mask: Optional[jax.Array] = None
-    blk_edge_perm: Optional[jax.Array] = None
-    spill_perm: Optional[jax.Array] = None
-    spill_mask: Optional[jax.Array] = None
-    block_nodes: int = struct.field(pytree_node=False, default=0)
-    # static: True when any edge spilled out of its node block; the fully
-    # fused Pallas round requires has_spill=False (softmax completeness)
-    has_spill: bool = struct.field(pytree_node=False, default=True)
-
     # Fully-uniform dense per-graph layout (core/packing.py:pack_graphs_dense):
     # every graph is padded to exactly ``nodes_per_graph`` node rows AND
     # ``edges_per_graph`` edge rows, so graph g owns node rows
@@ -93,17 +71,18 @@ class GraphBatch:
     nodes_per_graph: int = struct.field(pytree_node=False, default=0)
     edges_per_graph: int = struct.field(pytree_node=False, default=0)
 
-    # Edge-partitioned execution (graph-domain context parallelism, SURVEY §5):
-    # when set (inside shard_map), this GraphBatch's edge arrays hold only the
-    # local shard of every graph's edge slots, and ``edge_axis`` names the mesh
-    # axis across which ops/dense.py completes destination reductions with
-    # pmax/psum (the two-pass cross-partition softmax). Node arrays stay
-    # replicated across the axis.
+    # Edge-partitioned execution (graph-domain context parallelism, SURVEY §5;
+    # redesigned round 3): when set (inside shard_map), this GraphBatch's edge
+    # arrays hold only the local shard of every graph's edges, partitioned by
+    # **destination ownership** — shard s (s = axis index along ``edge_axis``,
+    # of ``edge_axis_size`` shards) holds exactly the edges whose local
+    # destination index i has i % k == s (parallel/edge_sharded.py:
+    # shard_edges_by_dst). Destination softmax and aggregation are therefore
+    # fully local per owned row; ops/dense.py assembles full node outputs with
+    # a single strided all-gather of owned rows (exchange_owned_rows). Node
+    # arrays stay replicated across the axis.
     edge_axis: Optional[str] = struct.field(pytree_node=False, default=None)
-
-    @property
-    def has_blocked_layout(self) -> bool:
-        return self.blk_src is not None
+    edge_axis_size: int = struct.field(pytree_node=False, default=1)
 
     @property
     def has_dense_layout(self) -> bool:

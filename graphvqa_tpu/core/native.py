@@ -1,11 +1,11 @@
 """ctypes bindings for the native C++ batch packer (native/packing.cc).
 
-The per-step collate (ragged -> padded + dst-sort + blocked layout) is the
+The per-step collate (ragged -> padded + dst-sort / dense layout) is the
 host-side hot loop at training scale (~5k batches/epoch over 943k questions).
 This module loads ``libgraphpack.so`` — building it on first use when a
 toolchain is available — and exposes drop-in replacements for
 :func:`graphvqa_tpu.core.packing.pack_graphs` /
-:func:`...build_blocked_edges`. Falls back to the pure-numpy path when the
+:func:`...pack_graphs_dense`. Falls back to the pure-numpy path when the
 library cannot be built.
 """
 from __future__ import annotations
@@ -48,7 +48,6 @@ def _load() -> Optional[ctypes.CDLL]:
     if not hasattr(lib, "gp_pack_dense"):
         return None  # stale binary without the dense entry point
     lib.gp_pack.restype = ctypes.c_int
-    lib.gp_build_blocked.restype = ctypes.c_int
     lib.gp_pack_dense.restype = ctypes.c_int
     _LIB = lib
     return _LIB
@@ -227,50 +226,3 @@ def pack_graphs_dense_native(
         edge_mask=edge_mask.astype(bool), edge_sym_sign=edge_sym_sign,
         exec_bitmap=bitmap_out, num_graphs=B,
         nodes_per_graph=npg, edges_per_graph=epg)
-
-
-def build_blocked_edges_native(
-    gb: GraphBatch,
-    block_nodes: int = 16,
-    slots_per_node: int = 16,
-    spill_pad: Optional[int] = None,
-) -> GraphBatch:
-    """Native equivalent of packing.build_blocked_edges."""
-    lib = _load()
-    if lib is None:
-        from graphvqa_tpu.core.packing import build_blocked_edges
-        return build_blocked_edges(gb, block_nodes, slots_per_node, spill_pad)
-
-    nodes_pad, edges_pad = gb.nodes_pad, gb.edges_pad
-    assert nodes_pad % block_nodes == 0
-    nb = nodes_pad // block_nodes
-    BE = block_nodes * slots_per_node
-    if spill_pad is None:
-        spill_pad = max(256, edges_pad // 8)
-
-    src = np.ascontiguousarray(np.asarray(gb.edge_src), np.int32)
-    dst = np.ascontiguousarray(np.asarray(gb.edge_dst), np.int32)
-    mask = np.ascontiguousarray(np.asarray(gb.edge_mask), np.uint8)
-
-    blk_src = np.empty((nb, BE), np.int32)
-    blk_dst_local = np.empty((nb, BE), np.int32)
-    blk_mask = np.empty((nb, BE), np.uint8)
-    blk_edge_perm = np.empty((nb, BE), np.int32)
-    spill_perm = np.empty((spill_pad,), np.int32)
-    spill_mask = np.empty((spill_pad,), np.uint8)
-
-    ret = lib.gp_build_blocked(
-        nodes_pad, edges_pad, _ptr(src, _i32p), _ptr(dst, _i32p),
-        _ptr(mask, _u8p), block_nodes, slots_per_node, spill_pad,
-        _ptr(blk_src, _i32p), _ptr(blk_dst_local, _i32p),
-        _ptr(blk_mask, _u8p), _ptr(blk_edge_perm, _i32p),
-        _ptr(spill_perm, _i32p), _ptr(spill_mask, _u8p))
-    if ret < 0:
-        raise ValueError("blocked-layout spill overflow; increase "
-                         "slots_per_node or spill_pad")
-
-    return gb.replace(
-        blk_src=blk_src, blk_dst_local=blk_dst_local,
-        blk_mask=blk_mask.astype(bool), blk_edge_perm=blk_edge_perm,
-        spill_perm=spill_perm, spill_mask=spill_mask.astype(bool),
-        block_nodes=block_nodes, has_spill=ret > 0)

@@ -205,67 +205,6 @@ def pack_graphs_dense(
     )
 
 
-def build_blocked_edges(
-    gb: GraphBatch,
-    block_nodes: int = 16,
-    slots_per_node: int = 16,
-    spill_pad: Optional[int] = None,
-) -> GraphBatch:
-    """Attach the ELL + spill blocked edge layout to a packed batch.
-
-    Destination nodes are grouped into ``nodes_pad / block_nodes`` blocks;
-    each block gets ``block_nodes * slots_per_node`` edge slots. Edges whose
-    destination block is full spill into a COO tail that the engines reduce
-    with the ordinary (XLA scatter) segment path. With dst-sorted GQA batches
-    (~6-12 edges/node) the default 16-slot headroom spills <1% of edges, and
-    the in-block aggregation becomes a dense one-hot contraction on the MXU
-    instead of a serialized scatter-add (see ops/blocked.py).
-    """
-    nodes_pad, edges_pad = gb.nodes_pad, gb.edges_pad
-    BN = block_nodes
-    assert nodes_pad % BN == 0, (nodes_pad, BN)
-    nb = nodes_pad // BN
-    BE = BN * slots_per_node
-    if spill_pad is None:
-        spill_pad = max(256, edges_pad // 8)
-
-    src = np.asarray(gb.edge_src)
-    dst = np.asarray(gb.edge_dst)
-    mask = np.asarray(gb.edge_mask)
-
-    blk_src = np.full((nb, BE), nodes_pad - 1, np.int32)
-    blk_dst_local = np.zeros((nb, BE), np.int32)
-    blk_mask = np.zeros((nb, BE), bool)
-    blk_edge_perm = np.full((nb, BE), edges_pad - 1, np.int32)
-    spill_perm = np.full((spill_pad,), edges_pad - 1, np.int32)
-    spill_mask = np.zeros((spill_pad,), bool)
-
-    fill = np.zeros(nb, np.int32)
-    n_spill = 0
-    for e in np.nonzero(mask)[0]:
-        b = dst[e] // BN
-        k = fill[b]
-        if k < BE:
-            blk_src[b, k] = src[e]
-            blk_dst_local[b, k] = dst[e] - b * BN
-            blk_mask[b, k] = True
-            blk_edge_perm[b, k] = e
-            fill[b] = k + 1
-        else:
-            if n_spill >= spill_pad:
-                raise ValueError(
-                    f"spill overflow: >{spill_pad} edges spilled; increase "
-                    f"slots_per_node ({slots_per_node}) or spill_pad")
-            spill_perm[n_spill] = e
-            spill_mask[n_spill] = True
-            n_spill += 1
-
-    return gb.replace(
-        blk_src=blk_src, blk_dst_local=blk_dst_local, blk_mask=blk_mask,
-        blk_edge_perm=blk_edge_perm, spill_perm=spill_perm,
-        spill_mask=spill_mask, block_nodes=BN, has_spill=n_spill > 0)
-
-
 # Default bucket ladder: (nodes_pad, edges_pad) per graph-count tier. GQA
 # graphs average ~17 nodes / ~90 edges (incl. self-loops + symmetrized);
 # p99 ~ 60 nodes / ~700 edges. Buckets are multiples of TPU-friendly sizes.

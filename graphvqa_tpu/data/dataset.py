@@ -162,8 +162,7 @@ def collate_qa(
     (gqa_dataset_entry.py:659-663) and the decoder's repeat_interleave layout.
     """
     from graphvqa_tpu.core.native import (
-        build_blocked_edges_native, pack_graphs_dense_native,
-        pack_graphs_native)
+        pack_graphs_dense_native, pack_graphs_native)
     graph_samples = [it["graph"] for it in items]
     max_n = max(g.num_nodes for g in graph_samples)
     max_e = max(g.num_edges for g in graph_samples)
@@ -183,10 +182,6 @@ def collate_qa(
             edges_pad=batch_cfg.edges_pad,
             max_steps=max_steps,
         )
-        if batch_cfg.layout == "blocked":
-            graphs = build_blocked_edges_native(
-                graphs, block_nodes=batch_cfg.block_nodes,
-                slots_per_node=batch_cfg.slots_per_node)
     questions = np.stack([
         text_vocab.encode(it["question_tokens"], batch_cfg.question_len)
         for it in items])

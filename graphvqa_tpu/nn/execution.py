@@ -71,7 +71,7 @@ class RecurrentExecutionEngine(nn.Module):
                      jnp.take(hist_pad, src_graph, axis=0)], axis=-1)
                 u_nodes = jnp.take(u_pad, graph.node_graph, axis=0)
             msg = node_mlp_1(msg_in)
-            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            from graphvqa_tpu.ops.dispatch import aggregate_edge_values
             aggr = aggregate_edge_values(graph, msg, reduce="mean")
             upd_in = jnp.concatenate([x, aggr, u_nodes], axis=-1)
             x_out = node_mlp_2(upd_in) + x

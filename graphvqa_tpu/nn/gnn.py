@@ -94,7 +94,7 @@ class SceneGraphMetaLayer(nn.Module):
         node_msg_in = jnp.concatenate([x_src, edge_out], axis=-1)
         node_msg = MLP2(self.node_dim, self.node_dim, self.dtype,
                         name="node_mlp_1")(node_msg_in)
-        from graphvqa_tpu.ops.blocked import aggregate_edge_values
+        from graphvqa_tpu.ops.dispatch import aggregate_edge_values
         aggregated = aggregate_edge_values(graph, node_msg, reduce="mean")
         node_out = MLP2(self.node_dim, self.node_dim, self.dtype,
                         name="node_mlp_2")(
@@ -167,6 +167,17 @@ class GATLayer(nn.Module):
         x_dim = x.shape[-1]
         ins_value = None   # dense path: per-graph value share, kept at [B, H, C]
         if graph.has_dense_layout:
+            if graph.edge_axis is not None:
+                # edge-partitioned round: cast the node input to
+                # edge-axis-varying BEFORE the projection. The projection
+                # still computes replicated values on every shard (same
+                # input, same math — recomputing beats exchanging the 4x
+                # wider projected array over ICI), but the explicit varying
+                # boundary pins the backward-pass gradient psum to the
+                # [N, in_c] input cotangent instead of the [N, H*C]
+                # projected cotangent that jax's automatic lifting at the
+                # P@v contraction would produce — 4x less ICI in backward.
+                x = jax.lax.pcast(x, graph.edge_axis, to="varying")
             # dense path: three exact collapses keep ALL per-round work on
             # [N, H*C]-or-smaller arrays read once —
             #  1. alpha_l/alpha_r fold into the projection matmul as two
@@ -244,17 +255,6 @@ class GATLayer(nn.Module):
                 return_alpha=return_alpha,
                 dropout_rate=self.dropout if apply_dropout else 0.0,
                 dropout_rng=drop_rng, ins_value=ins_value)
-        elif graph.has_blocked_layout:
-            # MXU path: dense one-hot contraction per node block (ops/blocked.py)
-            from graphvqa_tpu.ops.blocked import blocked_gat_aggregate
-            drop_rng = self.make_rng("dropout") if apply_dropout else None
-            out3, alpha_out = blocked_gat_aggregate(
-                graph, xw, alpha_l, alpha_r, alpha_e,
-                negative_slope=self.negative_slope,
-                return_alpha=return_alpha,
-                dropout_rate=self.dropout if apply_dropout else 0.0,
-                dropout_rng=drop_rng)
-            out2 = out3.mean(axis=1)   # concat=False: mean over heads
         else:
             logits = (jnp.take(alpha_l, graph.edge_src, axis=0)
                       + jnp.take(alpha_r, graph.edge_dst, axis=0)
@@ -408,7 +408,7 @@ class GCNSeq(nn.Module):
                 aggr = dense_scatter_matmul(
                     graph, w_edge, xw[:, None, :])[:, 0, :]
             else:
-                from graphvqa_tpu.ops.blocked import aggregate_edge_values
+                from graphvqa_tpu.ops.dispatch import aggregate_edge_values
                 msgs = jnp.take(xw, graph.edge_src, axis=0) * edge_norm[:, None]
                 aggr = aggregate_edge_values(graph, msgs)
             conv_res = aggr + xw * self_norm[:, None]
@@ -475,7 +475,7 @@ class GINESeq(nn.Module):
                 x_src = jnp.take(x_cat, graph.edge_src, axis=0)
 
             msgs = nn.relu(x_src + edge_cat)
-            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            from graphvqa_tpu.ops.dispatch import aggregate_edge_values
             aggr = aggregate_edge_values(graph, msgs)
             conv_res = MLP2(self.out_channels, self.out_channels, self.dtype,
                             name=f"conv_{i}_mlp")(x_cat + aggr)
@@ -529,17 +529,13 @@ class LCGNCell(nn.Module):
         x_mul = proj_cmd * x_r
         if graph.has_dense_layout:
             from graphvqa_tpu.ops.dense import (
-                dense_gather_src, dense_segment_softmax, onehot_dst)
-            B, npg, epg = graph.num_graphs, graph.nodes_per_graph, \
-                graph.edges_per_graph
+                dense_gather_dst, dense_gather_src, dense_segment_softmax)
+            B, epg = graph.num_graphs, graph.edges_per_graph
             x_l_src = dense_gather_src(
                 graph, x_l.reshape(N, H * C)).reshape(B * epg, H, C)
             # dst-side gather via the destination incidence matmul
-            x_mul_dst = jnp.einsum(
-                "bei,bid->bed", onehot_dst(graph, x_mul.dtype),
-                x_mul.reshape(B, npg, H * C),
-                preferred_element_type=jnp.float32
-            ).reshape(B * epg, H, C).astype(x_mul.dtype)
+            x_mul_dst = dense_gather_dst(
+                graph, x_mul.reshape(N, H * C)).reshape(B * epg, H, C)
             logits = (x_l_src * x_mul_dst).sum(-1)                  # [E, H]
         else:
             logits = (jnp.take(x_l, graph.edge_src, axis=0)
@@ -563,7 +559,7 @@ class LCGNCell(nn.Module):
         else:
             msgs = (jnp.take(x_val, graph.edge_src, axis=0)
                     * jnp.take(cal_cmd, graph.edge_src, axis=0)) * alpha[..., None]
-            from graphvqa_tpu.ops.blocked import aggregate_edge_values
+            from graphvqa_tpu.ops.dispatch import aggregate_edge_values
             out = aggregate_edge_values(
                 graph, msgs.reshape(msgs.shape[0], H * C))
             out = out.reshape(N, H, C).mean(axis=1)  # concat=False

@@ -27,6 +27,21 @@ max/denominator follow torch_geometric.utils.softmax (+1e-16), and parallel
 edges between the same (src, dst) pair keep their individual pre-softmax
 nonlinearity — they are only merged *after* normalization, where the merge is
 exact because messages are linear in the per-edge weight.
+
+**Edge partitioning (destination ownership, round 3).** When
+``graph.edge_axis`` is set (parallel/edge_sharded.py), this shard holds
+exactly the edges whose local destination index i has
+``i % k == shard`` (k = ``graph.edge_axis_size``). All destination-indexed
+arrays then use the **compressed owned-row space** ``q = i // k`` of size
+``npg/k``: the one-hot destination incidence is [B, epg_loc, npg/k], the
+softmax max/denominator and the per-graph edge-weight matrix P materialize
+only the owned rows, and the destination softmax needs NO cross-shard
+collective (every edge of an owned destination is local). The single
+collective per aggregation is :func:`_assemble_dst_rows` — a strided
+all-gather of the owned output rows, (k-1)/k of [B, npg, D] over ICI
+(backward transpose: the matching reduce-scatter). This replaces the r2
+scheme (full-npg rows + psum of [B, H, npg, npg] P matrices + pmax/psum
+softmax passes) whose comm volume was independent of shard count.
 """
 from __future__ import annotations
 
@@ -47,18 +62,60 @@ def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
     return B, npg, epg
 
 
+def _owned(graph: GraphBatch) -> bool:
+    return graph.edge_axis is not None and graph.edge_axis_size > 1
+
+
+def _dst_rows(graph: GraphBatch) -> int:
+    """Destination-row count this shard materializes: npg, or npg/k under
+    destination-owned edge partitioning."""
+    npg = graph.nodes_per_graph
+    return npg // graph.edge_axis_size if _owned(graph) else npg
+
+
+def _assemble_dst_rows(graph: GraphBatch, out: jax.Array) -> jax.Array:
+    """[B, rows, D] per-destination-row output -> flat [B*npg, D].
+
+    Under destination ownership, shard s's row q is global local-index
+    ``q*k + s``; the shards' disjoint rows are interleaved back into node
+    order with ONE collective — a masked psum (each shard contributes its
+    own slice of the [B, npg/k, k, D] layout; XLA lowers the psum to
+    reduce-scatter + all-gather over ICI). A psum rather than an all-gather
+    because jax's varying-manual-axes system has no varying→invariant cast:
+    the psum is what re-establishes edge-axis invariance for the node path,
+    and its transpose is communication-free.
+    """
+    B, npg = graph.num_graphs, graph.nodes_per_graph
+    D = out.shape[-1]
+    if not _owned(graph):
+        return out.reshape(B * npg, D)
+    k, ax = graph.edge_axis_size, graph.edge_axis
+    s = jax.lax.axis_index(ax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+    full = jnp.where(lane == s, out[:, :, None, :], 0)
+    full = jax.lax.psum(full, ax)                    # [B, npg/k, k, D]
+    # row j = (q=j//k on shard r=j%k)
+    return full.reshape(B * npg, D)
+
+
 def onehot_dst(graph: GraphBatch, dtype=jnp.float32) -> jax.Array:
-    """[B, epg, npg] one-hot destination incidence (masked)."""
+    """[B, epg, rows] one-hot destination incidence (masked). ``rows`` is the
+    (possibly compressed, see module docstring) destination-row count."""
     B, npg, epg = _dense_shapes(graph)
-    dl = (graph.edge_dst % npg).reshape(B, epg)
+    dl = graph.edge_dst % npg
+    rows = _dst_rows(graph)
+    if _owned(graph):
+        dl = dl // graph.edge_axis_size
+    dl = dl.reshape(B, epg)
     sel = dl[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, npg), 2)
+        jnp.int32, (1, 1, rows), 2)
     sel = sel & graph.edge_mask.reshape(B, epg)[:, :, None]
     return sel.astype(dtype)
 
 
 def onehot_src(graph: GraphBatch, dtype=jnp.float32) -> jax.Array:
-    """[B, epg, npg] one-hot source incidence (masked)."""
+    """[B, epg, npg] one-hot source incidence (masked). Sources are never
+    compressed — any node can source an edge on any shard."""
     B, npg, epg = _dense_shapes(graph)
     sl = (graph.edge_src % npg).reshape(B, epg)
     sel = sl[:, :, None] == jax.lax.broadcasted_iota(
@@ -76,29 +133,26 @@ def dense_aggregate_edges(
     """Aggregate per-edge values into destination nodes -> [N, D].
 
     The dense replacement for ``scatter_edges_to_nodes`` (K1/K4): one batched
-    [npg, epg] x [epg, D] contraction per graph instead of a serialized
+    [rows, epg] x [epg, D] contraction per graph instead of a serialized
     scatter. Handles *any* per-edge message (MetaLayer, GINE, the execution
-    engine), not just src-factorizable ones.
+    engine), not just src-factorizable ones. Under edge partitioning the
+    per-destination counts are local-complete (ownership), so ``mean``
+    normalizes before the row exchange.
     """
     B, npg, epg = _dense_shapes(graph)
     D = edge_values.shape[-1]
     oh = onehot_dst(graph, edge_values.dtype) if oh_dst is None else oh_dst
     v = jnp.where(graph.edge_mask[:, None], edge_values, 0.0)
     out = jnp.einsum("bei,bed->bid", oh, v.reshape(B, epg, D),
-                     preferred_element_type=jnp.float32)
-    if graph.edge_axis is not None:
-        out = jax.lax.psum(out, graph.edge_axis)
-    out = out.reshape(B * npg, D).astype(edge_values.dtype)
-    if reduce == "sum":
-        return out
+                     preferred_element_type=jnp.float32)   # [B, rows, D]
     if reduce == "mean":
         ones = graph.edge_mask.reshape(B, epg, 1).astype(out.dtype)
         counts = jnp.einsum("bei,bed->bid", oh, ones,
                             preferred_element_type=jnp.float32)
-        if graph.edge_axis is not None:
-            counts = jax.lax.psum(counts, graph.edge_axis)
-        return out / jnp.maximum(counts.reshape(B * npg, 1), 1.0)
-    raise ValueError(f"unknown reduce: {reduce}")
+        out = out / jnp.maximum(counts, 1.0)
+    elif reduce != "sum":
+        raise ValueError(f"unknown reduce: {reduce}")
+    return _assemble_dst_rows(graph, out).astype(edge_values.dtype)
 
 
 def _dense_softmax_stats(
@@ -109,12 +163,16 @@ def _dense_softmax_stats(
     """The two reduction passes of the destination softmax.
 
     Returns ``(expd, denom)``: ``expd`` [B, epg, H] is the masked, max-shifted
-    exp of each edge's logit; ``denom`` [B, npg, H] the per-destination sum
+    exp of each edge's logit; ``denom`` [B, rows, H] the per-destination sum
     (WITHOUT the +1e-16 — callers add it where they divide). Splitting the
     stats from the per-edge normalization lets :func:`dense_gat_aggregate`
     divide once per destination *after* aggregation instead of re-broadcasting
     the denominator to every edge (exactly equal math: the division by the
     destination's denominator distributes out of the destination sum).
+
+    Under destination-owned edge partitioning both passes are **fully
+    local**: every edge of an owned destination lives on this shard, so the
+    r2 cross-shard pmax/psum passes are gone by construction.
     """
     B, npg, epg = _dense_shapes(graph)
     H = logits.shape[-1]
@@ -123,19 +181,14 @@ def _dense_softmax_stats(
     lg = lg.reshape(B, epg, H)
 
     # per-destination max: masked reduce over the edge axis (XLA fuses the
-    # select into the reduction; nothing [B,epg,npg,H]-sized reaches HBM)
+    # select into the reduction; nothing [B,epg,rows,H]-sized reaches HBM)
     seg_max = jnp.max(
         jnp.where(ohb[:, :, :, None], lg[:, :, None, :], _NEG_INF),
-        axis=1)                                          # [B, npg, H]
+        axis=1)                                          # [B, rows, H]
     # the max only stabilizes the exp — softmax is invariant to it, so its
     # gradient contributions cancel exactly; stop_gradient keeps that
-    # cancellation exact in fp AND makes the cross-partition pmax legal
-    # under AD (pmax has no differentiation rule)
+    # cancellation exact in fp
     seg_max = jax.lax.stop_gradient(seg_max)
-    if graph.edge_axis is not None:
-        # cross-partition pass 1 of the two-pass softmax (ring-attention
-        # structure over the edge mesh axis)
-        seg_max = jax.lax.pmax(seg_max, graph.edge_axis)
     seg_max = jnp.maximum(seg_max, _NEG_INF)
 
     # re-broadcast per edge via the incidence matmul, then exp
@@ -147,10 +200,7 @@ def _dense_softmax_stats(
     expd = jnp.where(mask3, jnp.exp(jnp.minimum(shifted, 0.0)), 0.0)
 
     denom = jnp.einsum("bei,beh->bih", oh_dst, expd,
-                       preferred_element_type=jnp.float32)   # [B, npg, H]
-    if graph.edge_axis is not None:
-        # cross-partition pass 2: global normalizer
-        denom = jax.lax.psum(denom, graph.edge_axis)
+                       preferred_element_type=jnp.float32)   # [B, rows, H]
     return expd, denom
 
 
@@ -189,9 +239,10 @@ def dense_scatter_matmul(
 
     The SpMM of K4 as two chained batched matmuls, all heads in ONE
     contraction each (the one-hot operands are read once, not once per head):
-        P   = (oh_dst ⊗_H w)^T @ oh_src          [B, H, npg, npg]
-        out = P @ values                         [B, H, npg, C]
+        P   = (oh_dst ⊗_H w)^T @ oh_src          [B, H, rows, npg]
+        out = P @ values                         [B, H, rows, C]
     Parallel (src, dst) edges accumulate in P — exact post-normalization.
+    Under edge partitioning both matmuls materialize only the owned rows.
     """
     N, H, C = values.shape
     B, npg, epg = _dense_shapes(graph)
@@ -199,7 +250,9 @@ def dense_scatter_matmul(
     p = _dense_edge_weight_matrix(graph, edge_weights, dt, oh_dst, oh_src)
     v = values.reshape(B, npg, H, C)
     out = jnp.einsum("bhij,bjhc->bihc", p.astype(dt), v,
-                     preferred_element_type=jnp.float32)     # [B, npg, H, C]
+                     preferred_element_type=jnp.float32)  # [B, rows, H, C]
+    rows = out.shape[1]
+    out = _assemble_dst_rows(graph, out.reshape(B, rows, H * C))
     return out.reshape(N, H, C).astype(dt)
 
 
@@ -210,12 +263,14 @@ def _dense_edge_weight_matrix(
     oh_dst: Optional[jax.Array] = None,
     oh_src: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Per-graph per-head edge-weight matrix P [B, H, npg, npg] (f32).
+    """Per-graph per-head edge-weight matrix P [B, H, rows, npg] (f32).
 
     P[b, h, i, j] = sum over edges e of graph b with src j, dst i of
-    ``edge_weights[e, h]``. One batched [B, epg, H*npg] x [B, epg, npg]
+    ``edge_weights[e, h]``. One batched [B, epg, H*rows] x [B, epg, npg]
     contraction for all heads; the elementwise ``oh_dst * w`` operand fuses
-    into the dot's lhs read.
+    into the dot's lhs read. Under edge partitioning P's destination rows are
+    local-complete for owned destinations and absent otherwise — no
+    cross-shard combine (the r2 psum of this matrix is gone).
     """
     B, npg, epg = _dense_shapes(graph)
     H = edge_weights.shape[-1]
@@ -225,13 +280,9 @@ def _dense_edge_weight_matrix(
     # match the compute dtype so a bf16 engine runs the P build on the
     # MXU's native path (accumulation stays f32 via preferred_element_type)
     w = w.reshape(B, epg, H).astype(dt)
-    ohdw = ohd[:, :, None, :] * w[:, :, :, None]             # [B, epg, H, npg]
+    ohdw = ohd[:, :, None, :] * w[:, :, :, None]            # [B, epg, H, rows]
     p = jnp.einsum("behi,bej->bhij", ohdw, ohs,
-                   preferred_element_type=jnp.float32)       # [B, H, npg, npg]
-    if graph.edge_axis is not None:
-        # combine partial per-graph edge-weight matrices across edge
-        # shards (cheaper than psumming the [N, H, C] output)
-        p = jax.lax.psum(p, graph.edge_axis)
+                   preferred_element_type=jnp.float32)      # [B, H, rows, npg]
     return p
 
 
@@ -251,13 +302,13 @@ def dense_gat_aggregate(
     """Full GAT round on the uniform dense layout, scatter/gather-free.
 
     Returns the **head-averaged** [N, C] output (concat=False semantics —
-    averaging before the layout transpose keeps the [B, H, npg, C] aggregate
+    averaging before the layout transpose keeps the [B, H, rows, C] aggregate
     in its natural dot_general order) plus optionally the per-edge attention
     [E, H].
 
     ``ins_value`` is the per-graph (instruction) share of the projected node
     values. Because every source node of graph b carries the same ins vector,
-    its aggregate is EXACTLY ``rowsum(P_n) ⊗ ins_value`` — a [B, H, npg] x
+    its aggregate is EXACTLY ``rowsum(P_n) ⊗ ins_value`` — a [B, H, rows] x
     [B, H, C] contraction — so the caller never materializes the [N, H*C]
     broadcast-add into the node values (2x157 MB of HBM traffic per round on
     the bench shapes).
@@ -270,6 +321,10 @@ def dense_gat_aggregate(
     P build runs once for all heads. Attention dropout commutes with the
     division (it is a per-edge mask/scale), so it applies to ``expd``.
     Bit-compatible with the flat segment path up to fp reassociation.
+
+    Under destination-owned edge partitioning every array indexed by
+    destination ([B, rows, ...]) materializes only this shard's owned rows;
+    the final ``_assemble_dst_rows`` all-gather is the round's one collective.
     """
     del softmax_eps  # fixed to the torch_geometric 1e-16 of the stats pass
     N, H, C = xw.shape
@@ -279,7 +334,7 @@ def dense_gat_aggregate(
     # fully fused Pallas round: one-hot incidence never leaves VMEM
     # (ops/pallas/fused_dense_gat.py). Gated on a measured win; no dropout /
     # alpha observability / cross-chip sharding on this path.
-    from graphvqa_tpu.ops.blocked import _use_pallas
+    from graphvqa_tpu.ops.dispatch import _use_pallas
     if (_use_pallas() and graph.edge_axis is None and dropout_rate == 0.0
             and not return_alpha and dt == jnp.float32
             and ins_value is None):
@@ -299,8 +354,16 @@ def dense_gat_aggregate(
 
     al = jnp.einsum("bej,bjh->beh", ohs, alpha_l.reshape(B, npg, H),
                     preferred_element_type=jnp.float32)
-    ar = jnp.einsum("bei,bih->beh", ohd, alpha_r.reshape(B, npg, H),
-                    preferred_element_type=jnp.float32)
+    if _owned(graph):
+        # dst-side score gather must use the FULL-npg node array; build the
+        # owned-row slice of alpha_r instead of a full-width incidence
+        k, s = graph.edge_axis_size, jax.lax.axis_index(graph.edge_axis)
+        ar_rows = jnp.take(alpha_r.reshape(B, npg // k, k, H), s, axis=2)
+        ar = jnp.einsum("bei,bih->beh", ohd, ar_rows,
+                        preferred_element_type=jnp.float32)
+    else:
+        ar = jnp.einsum("bei,bih->beh", ohd, alpha_r.reshape(B, npg, H),
+                        preferred_element_type=jnp.float32)
     logits = (al + ar).reshape(B * epg, H) + alpha_e
     logits = jax.nn.leaky_relu(logits, negative_slope)
 
@@ -312,24 +375,24 @@ def dense_gat_aggregate(
             / keep).reshape(B, epg, H)
 
     p = _dense_edge_weight_matrix(graph, expd.reshape(B * epg, H), dt,
-                                  oh_dst=ohd, oh_src=ohs)    # [B, H, npg, npg]
-    # normalize P's destination rows (33 MB) instead of the [B, H, npg, C]
+                                  oh_dst=ohd, oh_src=ohs)  # [B, H, rows, npg]
+    # normalize P's destination rows (33 MB) instead of the [B, H, rows, C]
     # aggregate (157 MB), folding the concat=False head-mean 1/H in too;
     # the head average itself rides the contraction below (sum over h)
-    recip = (1.0 / H) / (denom + _SOFTMAX_EPS)               # [B, npg, H]
+    recip = (1.0 / H) / (denom + _SOFTMAX_EPS)               # [B, rows, H]
     p = p * recip.transpose(0, 2, 1)[:, :, :, None]
     v = xw.reshape(B, npg, H, C)
     out = jnp.einsum("bhij,bjhc->bic", p.astype(dt), v,
-                     preferred_element_type=jnp.float32)     # [B, npg, C]
+                     preferred_element_type=jnp.float32)     # [B, rows, C]
     if ins_value is not None:
         # per-graph value share: P_n applied to a per-graph constant is
         # rowsum(P_n) times that constant (exact, incl. dropout and the
         # +eps in recip — the row sums carry both)
-        rowsum = p.sum(axis=3)                               # [B, H, npg]
+        rowsum = p.sum(axis=3)                               # [B, H, rows]
         out = out + jnp.einsum("bhi,bhc->bic", rowsum.astype(dt),
                                ins_value.astype(dt),
                                preferred_element_type=jnp.float32)
-    out = out.reshape(N, C).astype(dt)
+    out = _assemble_dst_rows(graph, out).astype(dt)          # [N, C]
 
     alpha_ret = None
     if return_alpha:
@@ -374,6 +437,26 @@ def dense_gather_src(
     D = values.shape[-1]
     oh = onehot_src(graph, values.dtype) if oh_src is None else oh_src
     out = jnp.einsum("bej,bjd->bed", oh, values.reshape(B, npg, D),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B * epg, D).astype(values.dtype)
+
+
+def dense_gather_dst(
+    graph: GraphBatch,
+    values: jax.Array,           # [N, D]
+) -> jax.Array:
+    """Per-edge gather ``values[edge_dst]`` -> [E, D] as an incidence matmul.
+    Under destination-owned edge partitioning the incidence is in the
+    compressed owned-row space, so the full node array is sliced to the
+    owned rows first."""
+    B, npg, epg = _dense_shapes(graph)
+    D = values.shape[-1]
+    v = values.reshape(B, npg, D)
+    if _owned(graph):
+        k, s = graph.edge_axis_size, jax.lax.axis_index(graph.edge_axis)
+        v = jnp.take(v.reshape(B, npg // k, k, D), s, axis=2)
+    oh = onehot_dst(graph, values.dtype)
+    out = jnp.einsum("bei,bid->bed", oh, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(B * epg, D).astype(values.dtype)
 

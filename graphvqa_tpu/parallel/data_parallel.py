@@ -55,7 +55,14 @@ def shard_eval_batches(batches, mesh: Mesh):
     of mainExplain_gat.py:226-229's sampler). Requires batch_size %
     mesh.shape['data'] == 0."""
     sh = NamedSharding(mesh, P("data"))
+    d = mesh.shape["data"]
     for meta, batch in batches:
+        if batch.graphs.num_graphs % d:
+            raise ValueError(
+                f"data-parallel eval requires batch_size "
+                f"({batch.graphs.num_graphs}) divisible by the data mesh "
+                f"axis ({d}); pick --batch-size as a multiple of "
+                f"--data-parallel")
         yield meta, jax.device_put(jax.tree.map(jnp.asarray, batch), sh)
 
 

@@ -1,30 +1,45 @@
 """Edge-partitioned execution of the FULL pipeline model.
 
 Graph-domain context parallelism (SURVEY.md §5) integrated into the real
-training step, composed with data parallelism on one mesh:
+training step, composed with data parallelism on one mesh.
 
-  * the batch is stacked over the ``data`` axis (DDP replacement, see
-    data_parallel.py) and each data shard's **edge slots are striped over the
-    ``edge`` axis** (:func:`shard_edges_dense`);
-  * inside ``shard_map`` every device runs the whole model on its local edge
-    slice with node arrays replicated across the edge axis; the dense ops
-    (ops/dense.py) complete destination softmax/aggregation with pmax/psum
-    over the edge axis — the two-pass cross-partition softmax of the
-    ring-attention blueprint, applied to all engine rounds, the MetaLayer
-    encoder, and the execution engine at once (via GraphBatch.edge_axis);
-  * gradients come from ``jax.grad`` *through* ``shard_map`` — jax's varying
-    manual-axes system (check_vma=True) transposes the collectives, so the
-    parameter gradients are exact (asserted against the single-device step in
-    tests/test_edge_sharded.py).
+Round-3 redesign — **destination-ownership partitioning** (VERDICT r2
+item 1): edge shard ``s`` owns every destination node whose local index
+``i`` satisfies ``i % k == s``, and holds exactly the edges pointing at its
+owned destinations (:func:`shard_edges_by_dst`). Consequences:
 
-Comm volume per GAT round rides ICI: one [B, npg, H] pmax + one psum
-(softmax passes) + one psum of [B, H, npg, npg] partial edge-weight matrices —
-independent of per-shard edge count, and far smaller than psumming [N, H, C]
-node messages.
+  * the destination softmax (max + denominator) is **fully local** — every
+    edge of an owned destination lives on the owning shard, so the r2
+    cross-shard pmax/psum softmax passes disappear;
+  * the per-graph edge-weight matrix P has nonzero rows only for owned
+    destinations, so the r2 ``psum([B, H, npg, npg])`` — whose volume was
+    independent of shard count and sank scaling below 80% — disappears;
+  * each shard computes the aggregation output **only for its owned
+    destination rows** (the [B,H,npg/k,npg] slice of P), so the big P@v
+    matmul shards k ways too;
+  * the ONLY collective per aggregation is a ``(k-1)/k``-volume all-gather
+    of the owned output rows ([B, npg/k, C] per shard, ops/dense.py
+    ``exchange_owned_rows``) — O(npg·C) per graph instead of O(H·npg²),
+    and its backward transpose is the matching reduce-scatter.
+
+Node-path compute (projections, BatchNorm, transformers, pooling) stays
+replicated across the edge axis: exchanging projected features costs ~6x
+more ICI time than recomputing them (measured v5e ratios, see
+tools/bench_scaling.py for the full analytic model). The node-path rng folds
+in the data shard only, so edge shards share node-path dropout masks;
+per-edge attention-dropout masks are drawn from the same stream and are
+therefore correlated across shards (documented, exercised by
+tests/test_edge_sharded.py::test_edge_sharded_dropout_runs).
+
+Gradients come from ``jax.grad`` *through* ``shard_map`` — jax's varying
+manual-axes system transposes the collectives, so parameter gradients are
+exact vs the single-device step (asserted in tests/test_edge_sharded.py).
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional, Sequence
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -43,37 +58,94 @@ EDGE_FIELDS = ("edge_src", "edge_dst", "edge_tokens", "edge_mask",
                "edge_sym_sign")
 
 
-def shard_edges_dense(graphs: GraphBatch, k: int) -> GraphBatch:
-    """Stripe every graph's dense edge slots across ``k`` edge shards.
+def shard_edges_by_dst(graphs: GraphBatch, k: int,
+                       edges_per_shard: Optional[int] = None) -> GraphBatch:
+    """Partition every graph's edges across ``k`` shards by destination
+    ownership: shard ``s`` receives the edges whose local destination index
+    ``i`` has ``i % k == s`` (host-side, numpy).
 
-    Edge arrays [B*epg, ...] become [k, B*(epg/k), ...]: shard j holds slots
-    j, j+k, j+2k, ... of every graph (round-robin, so real edges balance
-    across shards even though they sit at the front of each graph's slot
-    range). Requires the fully-uniform dense layout.
+    Edge arrays [B*epg, ...] become [k, B*epg_loc, ...] with per-shard
+    padding ``epg_loc`` (static). The default ``epg_loc = epg // k`` is
+    doubled (up to ``epg``) when some (graph, shard) bucket overflows —
+    GQA in-degrees are small and spread, so the default holds for real
+    batches; the bump is a bounded recompile, not a failure.
     """
-    B, epg = graphs.num_graphs, graphs.edges_per_graph
+    B, npg, epg = graphs.num_graphs, graphs.nodes_per_graph, \
+        graphs.edges_per_graph
     assert graphs.has_dense_layout, "edge sharding needs the dense layout"
-    assert epg % k == 0, (epg, k)
-    epg_loc = epg // k
+    assert npg % k == 0, f"nodes_per_graph={npg} not divisible by k={k}"
 
-    def stripe(a):
-        a2 = a.reshape(B, epg_loc, k, *a.shape[1:])
-        a2 = jnp.moveaxis(jnp.asarray(a2), 2, 0)
-        return a2.reshape(k, B * epg_loc, *a.shape[1:])
+    src = np.asarray(graphs.edge_src).reshape(-1)
+    dst = np.asarray(graphs.edge_dst).reshape(-1)
+    mask = np.asarray(graphs.edge_mask).reshape(-1)
+    etok = np.asarray(graphs.edge_tokens).reshape(B * epg, -1)
+    esym = np.asarray(graphs.edge_sym_sign).reshape(-1)
+
+    # vectorized bucketing: group real edges by (graph, owner) with a stable
+    # sort on the bucket key — preserves dst order within each bucket
+    gids = np.repeat(np.arange(B, dtype=np.int64), epg)
+    owner = (dst % npg) % k
+    key = gids * k + owner                         # [B*epg]
+    valid = np.nonzero(mask)[0]
+    order = np.argsort(key[valid], kind="stable")
+    idx = valid[order]                             # grouped edge indices
+    kk = key[valid][order]
+
+    load = np.bincount(kk, minlength=B * k) if kk.size else np.zeros(B * k)
+    need = int(load.max()) if kk.size else 0
+
+    epg_loc = edges_per_shard
+    if epg_loc is None:
+        epg_loc = max(epg // k, 1)
+        while epg_loc < need:
+            epg_loc = min(epg_loc * 2, epg)
+    if need > epg_loc:
+        raise ValueError(
+            f"edge shard bucket overflow: a (graph, shard) needs {need} "
+            f"slots > edges_per_shard={epg_loc}")
+
+    etok_w = etok.shape[-1]
+    pad_node = (np.arange(B) * npg + (npg - 1)).astype(np.int32)
+    o_src = np.empty((k, B, epg_loc), np.int32)
+    o_dst = np.empty((k, B, epg_loc), np.int32)
+    o_src[...] = pad_node[None, :, None]
+    o_dst[...] = pad_node[None, :, None]
+    o_tok = np.ones((k, B, epg_loc, etok_w), np.int32)
+    o_mask = np.zeros((k, B, epg_loc), bool)
+    o_sym = np.ones((k, B, epg_loc), np.float32)
+
+    if kk.size:
+        # slot of each grouped edge within its (graph, shard) bucket
+        starts = np.r_[0, np.nonzero(np.diff(kk))[0] + 1]
+        sizes = np.diff(np.r_[starts, len(kk)])
+        pos = np.arange(len(kk)) - np.repeat(starts, sizes)
+        g_of = (kk // k).astype(np.int64)
+        s_of = (kk % k).astype(np.int64)
+        o_src[s_of, g_of, pos] = src[idx]
+        o_dst[s_of, g_of, pos] = dst[idx]
+        o_tok[s_of, g_of, pos] = etok[idx]
+        o_mask[s_of, g_of, pos] = True
+        o_sym[s_of, g_of, pos] = esym[idx]
 
     return graphs.replace(
-        **{f: stripe(getattr(graphs, f)) for f in EDGE_FIELDS})
+        edge_src=o_src.reshape(k, B * epg_loc),
+        edge_dst=o_dst.reshape(k, B * epg_loc),
+        edge_tokens=o_tok.reshape(k, B * epg_loc, etok_w),
+        edge_mask=o_mask.reshape(k, B * epg_loc),
+        edge_sym_sign=o_sym.reshape(k, B * epg_loc),
+    )
 
 
-def unshard_local_graph(graphs: GraphBatch, axis_name: str = "edge"
-                        ) -> GraphBatch:
+def unshard_local_graph(graphs: GraphBatch, axis_name: str = "edge",
+                        axis_size: int = 1) -> GraphBatch:
     """Inside shard_map: strip the leading (now size-1) shard axis from the
-    edge fields and mark the batch as edge-partitioned over ``axis_name``."""
+    edge fields and mark the batch as destination-owned edge-partitioned
+    over ``axis_name``."""
     B = graphs.num_graphs
     local = {f: getattr(graphs, f)[0] for f in EDGE_FIELDS}
     epg_loc = local["edge_src"].shape[0] // B
     return graphs.replace(edges_per_graph=epg_loc, edge_axis=axis_name,
-                          **local)
+                          edge_axis_size=axis_size, **local)
 
 
 def batch_specs(data_axis: str = "data", edge_axis: str = "edge"):
@@ -93,13 +165,15 @@ def stacked_batch_sharding(mesh: Mesh, stacked: QABatch) -> QABatch:
         lambda path, leaf: NamedSharding(mesh, spec_of(path, leaf)), stacked)
 
 
-def prepare_dp_edge_batch(batches, mesh: Mesh) -> QABatch:
-    """Host-side: stack per-data-shard batches, stripe edges over the edge
-    axis, and device_put with the right shardings."""
+def prepare_dp_edge_batch(batches: Sequence[QABatch], mesh: Mesh,
+                          edges_per_shard: Optional[int] = None) -> QABatch:
+    """Host-side: stack per-data-shard batches, partition each one's edges by
+    destination ownership over the edge axis, and device_put with the right
+    shardings."""
     from graphvqa_tpu.parallel.data_parallel import stack_shards
     k = mesh.shape["edge"]
-    batches = [b.replace(graphs=shard_edges_dense(b.graphs, k))
-               for b in batches]
+    batches = [b.replace(graphs=shard_edges_by_dst(
+        b.graphs, k, edges_per_shard=edges_per_shard)) for b in batches]
     stacked = stack_shards([jax.tree.map(jnp.asarray, b) for b in batches])
     return jax.device_put(stacked, stacked_batch_sharding(mesh, stacked))
 
@@ -119,10 +193,11 @@ def make_dp_edge_train_step(model: PipelineModel, cfg: Config,
     """
     pad = cfg.model.text.pad_idx
     tc = cfg.train
+    edge_k = mesh.shape["edge"]
 
     def per_shard_loss(params, batch_stats, step, stacked, rng):
         batch: QABatch = jax.tree.map(lambda x: x[0], stacked)
-        graphs = unshard_local_graph(batch.graphs)
+        graphs = unshard_local_graph(batch.graphs, axis_size=edge_k)
         # fold in the data shard only — edge shards MUST share node-path
         # dropout masks (they redundantly compute the same node values)
         shard_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))

@@ -1,17 +1,17 @@
-// Native batch packer: ragged scene graphs -> static padded + blocked layout.
+// Native batch packer: ragged scene graphs -> static padded layouts.
 //
 // C++ core of the host-side collate hot path (the Python reference path is
 // graphvqa_tpu/core/packing.py; semantics are identical and cross-checked by
 // tests/test_native_packing.py). Replaces the per-batch work the reference
 // delegated to PyG's C++ Batch.from_data_list + torch_scatter
 // (gqa_dataset_entry.py:654): global renumbering, destination counting-sort,
-// padded scatter, and ELL+spill blocked-layout construction — all O(E).
+// padded scatter, and the fully-uniform dense per-graph layout — all O(E).
 //
 // Build: make -C native   (produces libgraphpack.so, loaded via ctypes)
 //
 // Exported C ABI (all arrays caller-allocated, int32/float32/uint8):
 //   gp_pack(...)          flat padded batch from concatenated ragged inputs
-//   gp_build_blocked(...) ELL+spill layout from a packed flat batch
+//   gp_pack_dense(...)    fully-uniform per-graph dense layout
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -185,53 +185,6 @@ int gp_pack_dense(
     }
   }
   return 0;
-}
-
-// Build the ELL + spill blocked layout from a packed flat batch
-// (mirror of core/packing.py:build_blocked_edges).
-// Returns number of spilled edges, or negative on spill overflow.
-int gp_build_blocked(
-    int32_t nodes_pad, int32_t edges_pad,
-    const int32_t* edge_src, const int32_t* edge_dst,
-    const uint8_t* edge_mask,
-    int32_t block_nodes, int32_t slots_per_node, int32_t spill_pad,
-    int32_t* blk_src, int32_t* blk_dst_local, uint8_t* blk_mask,
-    int32_t* blk_edge_perm, int32_t* spill_perm, uint8_t* spill_mask) {
-  const int32_t nb = nodes_pad / block_nodes;
-  const int32_t BE = block_nodes * slots_per_node;
-
-  for (int32_t i = 0; i < nb * BE; ++i) {
-    blk_src[i] = nodes_pad - 1;
-    blk_dst_local[i] = 0;
-    blk_mask[i] = 0;
-    blk_edge_perm[i] = edges_pad - 1;
-  }
-  for (int32_t i = 0; i < spill_pad; ++i) {
-    spill_perm[i] = edges_pad - 1;
-    spill_mask[i] = 0;
-  }
-
-  std::vector<int32_t> fill(nb, 0);
-  int32_t n_spill = 0;
-  for (int32_t e = 0; e < edges_pad; ++e) {
-    if (!edge_mask[e]) continue;
-    const int32_t b = edge_dst[e] / block_nodes;
-    const int32_t k = fill[b];
-    if (k < BE) {
-      const int64_t idx = (int64_t)b * BE + k;
-      blk_src[idx] = edge_src[e];
-      blk_dst_local[idx] = edge_dst[e] - b * block_nodes;
-      blk_mask[idx] = 1;
-      blk_edge_perm[idx] = e;
-      fill[b] = k + 1;
-    } else {
-      if (n_spill >= spill_pad) return -1;
-      spill_perm[n_spill] = e;
-      spill_mask[n_spill] = 1;
-      n_spill++;
-    }
-  }
-  return n_spill;
 }
 
 }  // extern "C"

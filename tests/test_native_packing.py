@@ -3,8 +3,8 @@ import numpy as np
 import pytest
 
 from graphvqa_tpu.core.native import (
-    build_blocked_edges_native, native_available, pack_graphs_native)
-from graphvqa_tpu.core.packing import build_blocked_edges, pack_graphs
+    native_available, pack_graphs_native)
+from graphvqa_tpu.core.packing import pack_graphs
 from tests.helpers import random_sample
 
 pytestmark = pytest.mark.skipif(not native_available(),
@@ -31,21 +31,6 @@ def test_pack_matches_python():
     np.testing.assert_array_equal(cc.edge_mask, py.edge_mask)
     np.testing.assert_array_equal(cc.edge_sym_sign, py.edge_sym_sign)
     np.testing.assert_array_equal(cc.exec_bitmap, py.exec_bitmap)
-
-
-def test_blocked_matches_python():
-    samples = _samples(seed=3)
-    py_flat = pack_graphs(samples, nodes_pad=128, edges_pad=512)
-    py = build_blocked_edges(py_flat, block_nodes=8, slots_per_node=4,
-                             spill_pad=128)
-    cc = build_blocked_edges_native(py_flat, block_nodes=8, slots_per_node=4,
-                                    spill_pad=128)
-    np.testing.assert_array_equal(cc.blk_src, py.blk_src)
-    np.testing.assert_array_equal(cc.blk_dst_local, py.blk_dst_local)
-    np.testing.assert_array_equal(cc.blk_mask, py.blk_mask)
-    np.testing.assert_array_equal(cc.blk_edge_perm, py.blk_edge_perm)
-    np.testing.assert_array_equal(cc.spill_perm, py.spill_perm)
-    np.testing.assert_array_equal(cc.spill_mask, py.spill_mask)
 
 
 def test_native_overflow_raises():

@@ -13,7 +13,7 @@ import pytest
 from graphvqa_tpu.config import BatchConfig, Config, TrainConfig
 from graphvqa_tpu.models import PipelineModel
 from graphvqa_tpu.parallel import (
-    make_dp_train_step, make_edge_partitioned_engine, make_mesh,
+    make_dp_train_step, make_mesh,
     shard_batch_sharding, stack_shards)
 from graphvqa_tpu.train.loop import make_train_step
 from graphvqa_tpu.train.train_state import create_train_state
@@ -132,34 +132,6 @@ def test_dp_step_averages_distinct_shards():
                     jax.tree.leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
-
-
-def test_edge_partitioned_matches_reference_math():
-    from graphvqa_tpu.nn.gnn import GATLayer
-
-    cfg_m = tiny_model_config("gat")
-    batch = random_qa_batch(cfg=cfg_m, nodes_pad=32, edges_pad=64)
-    g = batch.graphs
-    H, C = 2, 12
-    in_dim = 12
-
-    layer = GATLayer(out_channels=C, heads=H, dropout=0.0)
-    x = jax.random.normal(jax.random.key(0), (g.nodes_pad, in_dim))
-    e_attr = jax.random.normal(jax.random.key(1), (g.edges_pad, in_dim))
-    variables = layer.init({"params": jax.random.key(2)}, g, x, e_attr)
-    want = layer.apply(variables, g, x, e_attr, deterministic=True)
-
-    n_edge = 4
-    mesh = make_mesh(data=1, edge=n_edge, devices=jax.devices()[:n_edge])
-    eng = make_edge_partitioned_engine(mesh, heads=H, out_channels=C)
-    p = variables["params"]
-    params = {"lin_lr": p["lin_lr"], "lin_e": p["lin_e"],
-              "att_l": p["att_l"], "att_r": p["att_r"], "att_e": p["att_e"],
-              "bias": p["bias"]}
-    got = eng(params, x, e_attr, g.edge_src, g.edge_dst, g.edge_mask,
-              g.node_mask)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-5)
 
 
 def test_gspmd_eval_sharding_matches_unsharded():
