@@ -177,7 +177,8 @@ class GATLayer(nn.Module):
                 # [N, in_c] input cotangent instead of the [N, H*C]
                 # projected cotangent that jax's automatic lifting at the
                 # P@v contraction would produce — 4x less ICI in backward.
-                x = jax.lax.pcast(x, graph.edge_axis, to="varying")
+                if graph.edge_axis not in jax.typeof(x).vma:
+                    x = jax.lax.pcast(x, graph.edge_axis, to="varying")
             # dense path: three exact collapses keep ALL per-round work on
             # [N, H*C]-or-smaller arrays read once —
             #  1. alpha_l/alpha_r fold into the projection matmul as two

@@ -63,7 +63,9 @@ def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
 
 
 def _owned(graph: GraphBatch) -> bool:
-    return graph.edge_axis is not None and graph.edge_axis_size > 1
+    # a size-1 edge axis still partitions formally (vma bookkeeping): the
+    # general owned-row path degenerates to an identity + free psum
+    return graph.edge_axis is not None
 
 
 def _dst_rows(graph: GraphBatch) -> int:

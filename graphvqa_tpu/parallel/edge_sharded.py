@@ -17,10 +17,12 @@ owned destinations (:func:`shard_edges_by_dst`). Consequences:
   * each shard computes the aggregation output **only for its owned
     destination rows** (the [B,H,npg/k,npg] slice of P), so the big P@v
     matmul shards k ways too;
-  * the ONLY collective per aggregation is a ``(k-1)/k``-volume all-gather
-    of the owned output rows ([B, npg/k, C] per shard, ops/dense.py
-    ``exchange_owned_rows``) — O(npg·C) per graph instead of O(H·npg²),
-    and its backward transpose is the matching reduce-scatter.
+  * the ONLY collective per aggregation is the owned-row assembly psum
+    ([B, npg/k, k, C] interleave, ops/dense.py ``_assemble_dst_rows``;
+    XLA lowers it to reduce-scatter + all-gather) — O(npg·C) per graph
+    instead of O(H·npg²), with a communication-free backward transpose;
+    the backward pass instead psums the [N, in_c] node-input cotangent
+    (the explicit varying cast in GATLayer pins that boundary).
 
 Node-path compute (projections, BatchNorm, transformers, pooling) stays
 replicated across the edge axis: exchanging projected features costs ~6x
@@ -144,6 +146,9 @@ def unshard_local_graph(graphs: GraphBatch, axis_name: str = "edge",
     B = graphs.num_graphs
     local = {f: getattr(graphs, f)[0] for f in EDGE_FIELDS}
     epg_loc = local["edge_src"].shape[0] // B
+    # NOTE: even a size-1 edge axis keeps edge_axis set — the mesh axis name
+    # exists in jax's varying-manual-axes bookkeeping regardless of size, so
+    # the (free) assembly psum is what re-establishes formal invariance
     return graphs.replace(edges_per_graph=epg_loc, edge_axis=axis_name,
                           edge_axis_size=axis_size, **local)
 
