@@ -115,11 +115,12 @@ def main():
     import jax
     _log("devices:", jax.devices())
 
-    # production path: dense per-graph layout -> batched MXU matmuls
+    # production path: dense per-graph layout -> batched MXU matmuls at the
+    # shipping bfloat16 default (ModelConfig.dtype); f32 kept as detail
     graph_dense, real_edges = make_batch(dense=True)
-    eps_dense = bench_gat_engine(graph_dense, real_edges, label="dense")
-    bench_gat_engine(graph_dense, real_edges, label="dense-bf16",
-                     dtype="bfloat16")
+    eps_dense = bench_gat_engine(graph_dense, real_edges, label="dense-bf16",
+                                 dtype="bfloat16")
+    bench_gat_engine(graph_dense, real_edges, label="dense-f32")
 
     graph_sorted, _ = make_batch(sort_by_dst=True)
     bench_gat_engine(graph_sorted, real_edges, label="flat-sorted")

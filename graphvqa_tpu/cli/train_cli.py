@@ -98,7 +98,9 @@ def get_args_parser():
                    choices=["float32", "bfloat16"],
                    help="compute dtype for transformer/engine matmuls "
                         "(params and optimizer state stay float32); default "
-                        "is the model config's dtype (float32)")
+                        "is the model config's dtype — bfloat16, the "
+                        "shipping default (see ModelConfig.dtype for the "
+                        "accuracy evidence); pass float32 to opt out")
     p.add_argument("--tiny", action="store_true",
                    help="debug-scale model dims (CI golden tests / smoke "
                         "runs); same architecture and data path, ~100x fewer "

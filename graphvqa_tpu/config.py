@@ -81,7 +81,14 @@ class ModelConfig:
     classifier_dropout: float = 0.2
     use_execution_engine: bool = False  # C17 — built, optionally enabled
     use_full_answer: bool = True
-    dtype: str = "float32"          # compute dtype for transformer/engine matmuls
+    # Compute dtype for transformer/engine matmuls (params + optimizer state
+    # stay float32). SHIPPING DEFAULT: bfloat16 — the measured-fastest engine
+    # (BENCH_r03: 13.5x vs the naive baseline, ROOFLINE.md), with accuracy
+    # demonstrated end to end by the golden CLI test (train -> checkpoint ->
+    # resume -> greedy evaluate -> official scorer at 100%,
+    # tests/test_golden_overfit.py[bfloat16]) and bounded per-layer by the
+    # torch parity suite. Pass --dtype float32 to the trainer CLI to opt out.
+    dtype: str = "bfloat16"
 
     def replace_engine(self, kind: str) -> "ModelConfig":
         return dataclasses.replace(self, engine=dataclasses.replace(self.engine, kind=kind))

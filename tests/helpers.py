@@ -23,6 +23,9 @@ def tiny_model_config(kind="gat", **overrides) -> ModelConfig:
         program_decode_len=8,
         full_answer_decode_len=8,
         classifier_hidden=32,
+        # unit tests are parity oracles vs float64/torch-f32 references; the
+        # shipping bfloat16 default is exercised by the golden CLI tests
+        dtype="float32",
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
