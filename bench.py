@@ -111,8 +111,89 @@ def bench_gat_engine(graph, real_edges, rounds=5, heads=4, channels=300,
     return eps
 
 
-def main():
+def bench_other_engine(graph, real_edges, kind, channels=300, ins_dim=512,
+                       rounds=5, iters=(8, 40), dtype="bfloat16"):
+    """Time the GCN/GINE/LCGN dense engines (VERDICT r2 weak 5) with the
+    same chained-fori_loop harness as the GAT path."""
     import jax
+    import jax.numpy as jnp
+    from graphvqa_tpu.nn.gnn import GCNSeq, GINESeq, LCGNSeq
+
+    graph = jax.tree.map(jnp.asarray, graph)
+    key = jax.random.key(0)
+    N, E, B = graph.nodes_pad, graph.edges_pad, graph.num_graphs
+    dt = jnp.dtype(dtype)
+    if kind == "gcn":
+        engine = GCNSeq(out_channels=channels, num_rounds=rounds,
+                        dropout=0.0, dtype=dt)
+    elif kind == "gine":
+        engine = GINESeq(out_channels=channels, num_rounds=rounds,
+                         dropout=0.0, dtype=dt)
+    else:
+        engine = LCGNSeq(out_channels=ins_dim, max_iters=4, dropout=0.0,
+                         dtype=dt)
+        rounds = 4
+    x = jax.random.normal(key, (N, channels), jnp.float32)
+    e = jax.random.normal(key, (E, channels), jnp.float32)
+    ins = jax.random.normal(key, (rounds, B, ins_dim), jnp.float32)
+    q = jax.random.normal(key, (B, ins_dim), jnp.float32)
+    lstm = jax.random.normal(key, (B, 30, ins_dim), jnp.float32)
+
+    rngs = {"params": key, "lcgn_ctx": jax.random.key(1)}
+
+    def fwd(v, graph, x):
+        if kind == "gcn":
+            return engine.apply(v, graph, x, ins, deterministic=True,
+                                use_running_average=True)
+        if kind == "gine":
+            return engine.apply(v, graph, x, e, ins, deterministic=True,
+                                use_running_average=True)
+        return engine.apply(v, graph, x, q, lstm, deterministic=True,
+                            use_running_average=True,
+                            rngs={"lcgn_ctx": jax.random.key(2)})
+
+    variables = jax.jit(lambda g, xx: engine.init(rngs, g, xx, *(
+        (ins,) if kind == "gcn" else (e, ins) if kind == "gine"
+        else (q, lstm))))(graph, x)
+    _log(f"[{kind}] init done")
+
+    out_dim = ins_dim if kind == "lcgn" else channels
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain(v, graph, x0, n):
+        def body(i, x):
+            h = fwd(v, graph, x)
+            h = h * jax.lax.rsqrt(jnp.mean(h * h) + 1e-6)
+            if out_dim != x.shape[-1]:
+                h = h[:, :x.shape[-1]]
+            return h
+        return jax.lax.fori_loop(0, n, body, x0)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = chain(variables, graph, x, n)
+        _ = np.asarray(out[:1, :1])
+        return time.perf_counter() - t0
+
+    n_lo, n_hi = iters
+    run(n_lo); run(n_hi)
+    t_lo = min(run(n_lo) for _ in range(2))
+    t_hi = min(run(n_hi) for _ in range(2))
+    per_iter = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    eps = rounds * real_edges / per_iter
+    _log(f"[{kind}] rounds={rounds} time/iter={per_iter*1e3:.2f}ms "
+         f"edges/s={eps:.3e}")
+    return eps
+
+
+def main():
+    import argparse
+    import jax
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all-engines", action="store_true",
+                    help="also time the GCN/GINE/LCGN dense engines "
+                         "(detail lines on stderr; JSON line unchanged)")
+    args = ap.parse_args()
     _log("devices:", jax.devices())
 
     # production path: dense per-graph layout -> batched MXU matmuls at the
@@ -121,6 +202,10 @@ def main():
     eps_dense = bench_gat_engine(graph_dense, real_edges, label="dense-bf16",
                                  dtype="bfloat16")
     bench_gat_engine(graph_dense, real_edges, label="dense-f32")
+
+    if args.all_engines:
+        for kind in ("gcn", "gine", "lcgn"):
+            bench_other_engine(graph_dense, real_edges, kind)
 
     graph_sorted, _ = make_batch(sort_by_dst=True)
     bench_gat_engine(graph_sorted, real_edges, label="flat-sorted")

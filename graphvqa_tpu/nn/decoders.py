@@ -87,12 +87,15 @@ class ProgramDecoder(nn.Module):
         tgt: jax.Array,        # [B*M, Lp] teacher-forcing input tokens
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
+        instr_mbd, instr_flat, _ = self._instruction_vectors(
             memory, deterministic)
         x = self._embed_program(tgt, instr_flat, deterministic)
         L = tgt.shape[1]
-        out = self.fine_decoder(x, memory_rep, tgt_mask=causal_mask(L),
-                                deterministic=deterministic)
+        # grouped cross-attention: memory K/V projected once per question,
+        # not once per (question, instruction) — exact vs repeat_interleave
+        out = self.fine_decoder(x, memory, tgt_mask=causal_mask(L),
+                                deterministic=deterministic,
+                                memory_group=self.num_queries)
         logits = self.vocab_decoder(out)               # [B*M, L, V]
         return logits, instr_mbd
 

@@ -37,12 +37,14 @@ class SceneGraphEncoder(nn.Module):
         embed = PaddedEmbed(self.vocab_size, self.emb_dim, self.pad_idx,
                             name="sg_vocab_embedding")
 
-        # [N, T, D] -> sum over token slots -> [N, D] (sum, not mean:
-        # pipeline_model_gat.py:585)
-        x = embed(graph.node_tokens).sum(axis=-2)
+        # [N, T] -> sum over token slots -> [N, D] (sum, not mean:
+        # pipeline_model_gat.py:585) via the counts-matmul embedding bag —
+        # the gather+scatter this replaces cost ~45 ms/step in the profiled
+        # production train step (tools/profile_train_step.py)
+        x = embed.bag_sum(graph.node_tokens, compute_dtype=self.dtype)
         # edge embedding with reverse-edge sign flip (pipeline_model_gat.py:590)
-        e = embed(graph.edge_tokens).sum(axis=-2)
-        e = e * graph.edge_sym_sign[:, None]
+        e = embed.bag_sum(graph.edge_tokens, compute_dtype=self.dtype)
+        e = e * graph.edge_sym_sign[:, None].astype(e.dtype)
 
         x = jnp.where(graph.node_mask[:, None], x, 0.0)
         e = jnp.where(graph.edge_mask[:, None], e, 0.0)

@@ -82,9 +82,18 @@ class SceneGraphMetaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, graph: GraphBatch, x: jax.Array, edge_attr: jax.Array):
-        src, dst = graph.edge_src, graph.edge_dst
-        x_src = gather_nodes(x, src)
-        x_dst = gather_nodes(x, dst)
+        if graph.has_dense_layout:
+            # incidence matmuls instead of row gathers: TPU row gathers
+            # serialize (~40 ns/row, ROOFLINE.md) — at 131k edge slots the
+            # two gathers alone would cost ~10 ms/step
+            from graphvqa_tpu.ops.dense import (
+                dense_gather_dst, dense_gather_src)
+            x_src = dense_gather_src(graph, x)
+            x_dst = dense_gather_dst(graph, x)
+        else:
+            src, dst = graph.edge_src, graph.edge_dst
+            x_src = gather_nodes(x, src)
+            x_dst = gather_nodes(x, dst)
 
         edge_in = jnp.concatenate([x_src, x_dst, edge_attr], axis=-1)
         edge_out = MLP2(self.edge_dim, self.edge_dim, self.dtype,
