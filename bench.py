@@ -166,7 +166,7 @@ def bench_other_engine(graph, real_edges, kind, channels=300, ins_dim=512,
             h = h * jax.lax.rsqrt(jnp.mean(h * h) + 1e-6)
             if out_dim != x.shape[-1]:
                 h = h[:, :x.shape[-1]]
-            return h
+            return h.astype(x.dtype)
         return jax.lax.fori_loop(0, n, body, x0)
 
     def run(n):
