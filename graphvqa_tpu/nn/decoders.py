@@ -121,7 +121,7 @@ class ProgramDecoder(nn.Module):
         non-deterministic call would half-apply dropout (coarse stage only) —
         fail loudly instead."""
         assert deterministic, "sample() is eval-only (KV cache has no dropout)"
-        instr_mbd, instr_flat, memory_rep = self._instruction_vectors(
+        instr_mbd, instr_flat, _ = self._instruction_vectors(
             memory, deterministic)
         T = self.max_decode_len
         BM = instr_flat.shape[0]
@@ -129,14 +129,17 @@ class ProgramDecoder(nn.Module):
         # the loop writes cache positions 0..T-2 only (step t reads/writes
         # position t-1), so T-1 slots suffice
         cache0 = self.fine_decoder.init_cache(BM, T - 1)
-        cross_kvs = self.fine_decoder.precompute_cross_kv(memory_rep)
+        # grouped cross-KV: memory K/V projected once per question, shared
+        # by its M instruction streams (exact vs repeat_interleave)
+        cross_kvs = self.fine_decoder.precompute_cross_kv(memory)
 
         def step(t, carry):
             buf, cache = carry
             # feed position t-1 (tokens buf[:, t-1]) -> predict position t
             x_t = self._embed_program_step(buf[:, t - 1], instr_flat, t - 1)
             out, cache = self.fine_decoder.decode_step(
-                x_t, cache, cross_kvs, t - 1)
+                x_t, cache, cross_kvs, t - 1,
+                memory_group=self.num_queries)
             nxt = jnp.argmax(self.vocab_decoder(out), axis=-1).astype(jnp.int32)
             return buf.at[:, t].set(nxt), cache
 

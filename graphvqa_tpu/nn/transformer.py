@@ -134,22 +134,27 @@ class MultiheadAttention(nn.Module):
 
     def attend_step(
         self,
-        q_t: jax.Array,                       # [B, D] single query position
+        q_t: jax.Array,                       # [B*g, D] single query position
         k: jax.Array,                          # [B, h, Lk, hd]
         v: jax.Array,                          # [B, h, Lk, hd]
         key_mask: Optional[jax.Array] = None,  # [Lk] additive (0 / -inf)
+        group: int = 1,
     ) -> jax.Array:
-        b = q_t.shape[0]
-        q = self.q_proj(q_t).reshape(b, self.num_heads, self.head_dim)
+        """``group=g`` attends g query rows against each K/V batch row
+        (b-major expansion — the grouped-cross-attention decode analog of
+        DecoderLayer's ``memory_group``)."""
+        bg = q_t.shape[0]
+        q = self.q_proj(q_t).reshape(bg // group, group, self.num_heads,
+                                     self.head_dim)
         scores = jnp.einsum(
-            "bhd,bhkd->bhk", q, k,
+            "bghd,bhkd->bghk", q, k,
             preferred_element_type=jnp.float32) / math.sqrt(self.head_dim)
         if key_mask is not None:
-            scores = scores + key_mask[None, None, :]
+            scores = scores + key_mask[None, None, None, :]
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhk,bhkd->bhd", weights.astype(v.dtype), v,
+        out = jnp.einsum("bghk,bhkd->bghd", weights.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        return self.out_proj(out.reshape(b, self.embed_dim))
+        return self.out_proj(out.reshape(bg, self.embed_dim))
 
 
 class EncoderLayer(nn.Module):
@@ -232,12 +237,15 @@ class DecoderLayer(nn.Module):
                               deterministic=deterministic)
         return self.norm3(tgt)
 
-    def decode_step(self, x_t, self_kv, cross_kv, t, key_mask):
+    def decode_step(self, x_t, self_kv, cross_kv, t, key_mask,
+                    memory_group: int = 1):
         """One greedy-decode step for this layer.
 
         x_t: [B, D] hidden at the newest position (index ``t``).
         self_kv: (k, v) cache buffers [B, h, T, hd]; entry ``t`` is written
-        from ``x_t`` before attending. cross_kv: precomputed memory K/V.
+        from ``x_t`` before attending. cross_kv: precomputed memory K/V
+        (unexpanded batch when ``memory_group`` > 1 — K/V projected once
+        per memory row, not once per expanded row).
         key_mask: [T] additive mask hiding cache entries > ``t``.
         Returns (y_t [B, D], updated self_kv). Deterministic (eval path).
         """
@@ -249,7 +257,8 @@ class DecoderLayer(nn.Module):
             v_buf, v_t[:, :, None, :], t, axis=2)
         attn = self.self_attn.attend_step(x_t, k_buf, v_buf, key_mask)
         x = self.norm1(x_t + attn)
-        cross = self.cross_attn.attend_step(x, *cross_kv)
+        cross = self.cross_attn.attend_step(x, *cross_kv,
+                                            group=memory_group)
         x = self.norm2(x + cross)
         x = x + self._ffn(x, deterministic=True)
         return self.norm3(x), (k_buf, v_buf)
@@ -318,16 +327,18 @@ class TransformerDecoder(nn.Module):
         return tuple(layer.cross_attn.project_kv(memory, memory)
                      for layer in self.layers)
 
-    def decode_step(self, x_t, cache, cross_kvs, t):
+    def decode_step(self, x_t, cache, cross_kvs, t, memory_group: int = 1):
         """Run one position through all layers. x_t: [B, D] embedding at
-        position ``t``. Returns (normed output [B, D], updated cache)."""
+        position ``t``. Returns (normed output [B, D], updated cache).
+        ``memory_group``: see DecoderLayer.decode_step."""
         max_len = cache[0][0].shape[2]
         key_mask = jnp.where(jnp.arange(max_len) <= t, 0.0, -jnp.inf
                              ).astype(self.dtype)
         new_cache = []
         for layer, self_kv, cross_kv in zip(self.layers, cache, cross_kvs):
             x_t, self_kv = layer.decode_step(x_t, self_kv, cross_kv, t,
-                                             key_mask)
+                                             key_mask,
+                                             memory_group=memory_group)
             new_cache.append(self_kv)
         return self.final_norm(x_t), tuple(new_cache)
 

@@ -24,6 +24,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # shipping default (cli/train_cli.py --prng rbg); override via env
+    import os
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("JAX_DEFAULT_PRNG_IMPL", "rbg"))
     import jax.numpy as jnp
 
     from bench import make_batch
