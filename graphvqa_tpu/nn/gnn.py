@@ -529,12 +529,23 @@ class LCGNCell(nn.Module):
 
         x_l = GlorotLinear(H * C, name="lin_l")(x_joint).reshape(N, H, C)
         x_r = GlorotLinear(H * C, name="lin_r")(x_joint).reshape(N, H, C)
-        cmd_pad = jnp.concatenate(
-            [cmd, jnp.zeros((1, cmd.shape[-1]), cmd.dtype)], axis=0)
-        proj_cmd = GlorotLinear(H * C, name="proj_cmd")(cmd_pad)
-        cal_cmd = GlorotLinear(H * C, name="cal_cmd")(cmd_pad)
-        proj_cmd = jnp.take(proj_cmd, graph.node_graph, axis=0).reshape(N, H, C)
-        cal_cmd = jnp.take(cal_cmd, graph.node_graph, axis=0).reshape(N, H, C)
+        if graph.has_dense_layout:
+            # per-graph command vectors broadcast to node rows without the
+            # [N]-row gather (TPU row gathers serialize; ROOFLINE.md)
+            from graphvqa_tpu.ops.dense import broadcast_to_nodes
+            proj_cmd = broadcast_to_nodes(
+                graph, GlorotLinear(H * C, name="proj_cmd")(cmd))
+            cal_cmd = broadcast_to_nodes(
+                graph, GlorotLinear(H * C, name="cal_cmd")(cmd))
+        else:
+            cmd_pad = jnp.concatenate(
+                [cmd, jnp.zeros((1, cmd.shape[-1]), cmd.dtype)], axis=0)
+            proj_cmd = jnp.take(GlorotLinear(H * C, name="proj_cmd")(cmd_pad),
+                                graph.node_graph, axis=0)
+            cal_cmd = jnp.take(GlorotLinear(H * C, name="cal_cmd")(cmd_pad),
+                               graph.node_graph, axis=0)
+        proj_cmd = proj_cmd.reshape(N, H, C)
+        cal_cmd = cal_cmd.reshape(N, H, C)
 
         x_mul = proj_cmd * x_r
         if graph.has_dense_layout:
