@@ -53,18 +53,28 @@ def _init(cfg, batch, seed=0):
     return model, create_train_state(variables)
 
 
-def test_edge_partitioned_pipeline_grads_match_single_device():
+@pytest.mark.parametrize("kind", ["gat", "gcn", "gine", "lcgn"])
+def test_edge_partitioned_pipeline_grads_match_single_device(kind):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 emulated devices")
-    cfg = _dropout_free_cfg()
+    cfg = _dropout_free_cfg(kind)
     batch = random_qa_batch(seed=3, num_graphs=3, dense=True,
                             nodes_per_graph=8, edges_per_graph=16,
                             cfg=cfg.model)
     model, state = _init(cfg, batch)
     rng = jax.random.key(7)
 
-    single_step = make_train_step(model, cfg)
-    s1, m1 = single_step(state, batch, rng)
+    if kind == "lcgn":
+        # LCGN draws its x_ctx noise from the 'lcgn_ctx' stream on every
+        # forward; the DP step folds the data-shard index into the rng, so
+        # the fair exactness reference is the SAME step on a 1x1 mesh
+        # (identical rng folding), not make_train_step
+        mesh1 = make_mesh(data=1, edge=1, devices=jax.devices()[:1])
+        ref_step = make_dp_edge_train_step(model, cfg, mesh1)
+        s1, m1 = ref_step(state, prepare_dp_edge_batch([batch], mesh1), rng)
+    else:
+        single_step = make_train_step(model, cfg)
+        s1, m1 = single_step(state, batch, rng)
 
     mesh = make_mesh(data=1, edge=4, devices=jax.devices()[:4])
     edge_step = make_dp_edge_train_step(model, cfg, mesh)
