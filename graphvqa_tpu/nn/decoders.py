@@ -27,7 +27,8 @@ from flax import linen as nn
 
 from graphvqa_tpu.nn.embedding import PaddedEmbed
 from graphvqa_tpu.nn.transformer import (
-    PositionalEncoding, TorchLinear, TransformerDecoder, causal_mask)
+    PositionalEncoding, TorchLinear, TransformerDecoder, block_causal_mask,
+    causal_mask)
 
 
 class ProgramDecoder(nn.Module):
@@ -90,12 +91,21 @@ class ProgramDecoder(nn.Module):
         instr_mbd, instr_flat, _ = self._instruction_vectors(
             memory, deterministic)
         x = self._embed_program(tgt, instr_flat, deterministic)
-        L = tgt.shape[1]
-        # grouped cross-attention: memory K/V projected once per question,
-        # not once per (question, instruction) — exact vs repeat_interleave
-        out = self.fine_decoder(x, memory, tgt_mask=causal_mask(L),
-                                deterministic=deterministic,
-                                memory_group=self.num_queries)
+        BM, L, D = x.shape
+        M = self.num_queries
+        # The M instruction streams of one question PACK into one length-M*L
+        # sequence under a block-diagonal causal mask — exact (masked
+        # positions contribute exp(-inf)=0), and it replaces M*B tiny
+        # [L, L] attention matmuls with B [M*L, M*L] ones (4-5x fewer MXU
+        # launches at much better tile utilization) AND makes the memory
+        # batch line up, so cross-attention K/V are projected once per
+        # question with no repeat_interleave (the packed-form equivalent of
+        # the reference's expansion at pipeline_model_gat.py:369).
+        xp = x.reshape(BM // M, M * L, D)
+        out = self.fine_decoder(xp, memory,
+                                tgt_mask=block_causal_mask(M, L),
+                                deterministic=deterministic)
+        out = out.reshape(BM, L, D)
         logits = self.vocab_decoder(out)               # [B*M, L, V]
         return logits, instr_mbd
 

@@ -62,6 +62,16 @@ def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
     ).astype(dtype)
 
 
+def block_causal_mask(blocks: int, length: int,
+                      dtype=jnp.float32) -> jax.Array:
+    """[blocks*length]² additive mask: causal within each diagonal block,
+    -inf across blocks — packs ``blocks`` independent causal sequences into
+    one attention call (ProgramDecoder's M instruction streams)."""
+    allowed = jnp.kron(jnp.eye(blocks, dtype=jnp.int32),
+                       jnp.tril(jnp.ones((length, length), jnp.int32)))
+    return jnp.where(allowed > 0, 0.0, -jnp.inf).astype(dtype)
+
+
 class MultiheadAttention(nn.Module):
     """Torch-style MHA: separate q/k/v projections, scaled dot product,
     out-proj. (Torch packs the three into one ``in_proj_weight`` [3D, D];
