@@ -32,9 +32,7 @@ from graphvqa_tpu.nn.transformer import TorchLinear
 from graphvqa_tpu.ops import (
     gather_nodes,
     scatter_edges_to_nodes,
-    segment_mean,
     segment_softmax,
-    segment_sum,
 )
 
 glorot = nn.initializers.xavier_uniform()
