@@ -180,13 +180,13 @@ class EncoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             src, src, src, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
         ff = TorchLinear(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -203,9 +203,9 @@ class DecoderLayer(nn.Module):
         self.cross_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, self.dtype,
             name="cross_attn")
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
-        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
         self.linear1 = TorchLinear(self.ffn_dim, dtype=self.dtype,
                                    name="linear1")
         self.linear2 = TorchLinear(self.d_model, dtype=self.dtype,
@@ -289,7 +289,8 @@ class TransformerEncoder(nn.Module):
             x = EncoderLayer(self.d_model, self.num_heads, self.ffn_dim,
                              self.dropout, self.dtype, name=f"layer_{i}")(
                 x, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="final_norm")(x)
 
 
 class TransformerDecoder(nn.Module):
@@ -305,7 +306,8 @@ class TransformerDecoder(nn.Module):
             DecoderLayer(self.d_model, self.num_heads, self.ffn_dim,
                          self.dropout, self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)]
-        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       name="final_norm")
 
     def __call__(self, tgt, memory, tgt_mask=None, deterministic=True,
                  memory_group: int = 1):
@@ -370,6 +372,7 @@ class PositionalEncoding(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(self, x, deterministic=True):
-        # x: [B, L, D]
-        x = x + self.pe[None, : x.shape[1], :]
+        # x: [B, L, D]; pe cast to x's dtype so the bf16 path stays bf16
+        # (f32 + bf16 promotes to f32 and drags the whole stack up)
+        x = x + self.pe[None, : x.shape[1], :].astype(x.dtype)
         return self.drop(x, deterministic=deterministic)
