@@ -339,8 +339,9 @@ def main(args):
         # (parallel/edge_sharded.py; reference launch:
         # mainExplain_gat.py:259-263 had DDP only)
         from graphvqa_tpu.parallel import (
-            make_dp_edge_train_step, make_dp_train_step, make_mesh,
-            prepare_dp_edge_batch, shard_batch_sharding, stack_shards)
+            align_dense_group, make_dp_edge_train_step, make_dp_train_step,
+            make_mesh, prepare_dp_edge_batch, shard_batch_sharding,
+            stack_shards)
         n_dev = args.data_parallel * args.edge_parallel
         if len(jax.devices()) < n_dev:
             raise SystemExit(
@@ -365,6 +366,7 @@ def main(args):
             sharding = shard_batch_sharding(mesh)
 
             def put_group(group):
+                group = align_dense_group(group)
                 stacked = stack_shards(
                     [jax.tree.map(jnp.asarray, g) for g in group])
                 return jax.device_put(stacked, sharding)
@@ -403,6 +405,8 @@ def main(args):
         steps_per_epoch = len(train_ds) // nproc // args.batch_size
 
     for epoch in range(start_epoch, args.epochs):
+        from graphvqa_tpu.data.dataset import collate_stats
+        stats_before = dict(collate_stats)
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
         state = train_one_epoch(train_step, state,
                                 prefetch(batches_fn(epoch), depth=4),
@@ -412,9 +416,10 @@ def main(args):
                                 engine_rounds=cfg.model.engine.num_rounds,
                                 profile_dir=(args.profile_dir or None)
                                 if epoch == start_epoch else None)
-        from graphvqa_tpu.data.dataset import collate_stats
-        if collate_stats["flat_fallback"] or collate_stats["dense_bumped"]:
-            print(f"collate layout stats: {collate_stats}")
+        epoch_stats = {k: collate_stats[k] - stats_before[k]
+                       for k in collate_stats}
+        if epoch_stats["flat_fallback"] or epoch_stats["dense_bumped"]:
+            print(f"collate layout stats (this epoch): {epoch_stats}")
         if (epoch + 1) % args.validate_every == 0:
             # mid-training validation shards over the data axis too
             # (VERDICT r2 weak 2; reference: mainExplain_gat.py:226-229)

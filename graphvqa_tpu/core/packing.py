@@ -256,3 +256,53 @@ def pick_bucket(
     raise ValueError(
         f"no bucket fits total_nodes={total_nodes} total_edges={total_edges}; "
         f"largest is {buckets[-1]}")
+
+
+def repack_dense(gb: GraphBatch, nodes_per_graph: int,
+                 edges_per_graph: int) -> GraphBatch:
+    """Upgrade a dense-layout batch to bigger uniform paddings (host-side).
+
+    Used to align static shapes across a data-parallel group when one
+    member's collate bumped its bucket (data/dataset.py:collate_qa) —
+    re-padding is pure layout surgery: each graph's rows move from the
+    [g*npg, g*npg+n) run to [g*npg2, g*npg2+n) and flat node indices remap
+    as ``(i // npg) * npg2 + i % npg``.
+    """
+    B, npg, epg = gb.num_graphs, gb.nodes_per_graph, gb.edges_per_graph
+    npg2, epg2 = nodes_per_graph, edges_per_graph
+    assert gb.has_dense_layout, "repack_dense needs the dense layout"
+    if npg2 == npg and epg2 == epg:
+        return gb
+    assert npg2 >= npg and epg2 >= epg, ((npg, epg), (npg2, epg2))
+
+    def pad_rows(a, per, per2, fill):
+        a2 = np.asarray(a).reshape(B, per, *np.shape(a)[1:])
+        out = np.full((B, per2) + a2.shape[2:], fill, a2.dtype)
+        out[:, :per] = a2
+        return out.reshape((B * per2,) + a2.shape[2:])
+
+    def remap(idx):
+        idx = np.asarray(idx)
+        return ((idx // npg) * npg2 + idx % npg).astype(np.int32)
+
+    pad_node = (np.arange(B) * npg2 + (npg2 - 1)).astype(np.int32)
+    src = np.asarray(gb.edge_src).reshape(B, epg)
+    dst = np.asarray(gb.edge_dst).reshape(B, epg)
+    src2 = np.repeat(pad_node[:, None], epg2, axis=1)
+    dst2 = src2.copy()
+    src2[:, :epg] = remap(src)
+    dst2[:, :epg] = remap(dst)
+
+    return gb.replace(
+        node_tokens=pad_rows(gb.node_tokens, npg, npg2, 1),
+        node_graph=pad_rows(gb.node_graph, npg, npg2, B),
+        node_mask=pad_rows(gb.node_mask, npg, npg2, False),
+        exec_bitmap=pad_rows(gb.exec_bitmap, npg, npg2, 0.0),
+        edge_src=src2.reshape(-1),
+        edge_dst=dst2.reshape(-1),
+        edge_tokens=pad_rows(gb.edge_tokens, epg, epg2, 1),
+        edge_mask=pad_rows(gb.edge_mask, epg, epg2, False),
+        edge_sym_sign=pad_rows(gb.edge_sym_sign, epg, epg2, 1.0),
+        nodes_per_graph=npg2,
+        edges_per_graph=epg2,
+    )

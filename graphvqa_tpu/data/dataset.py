@@ -170,26 +170,38 @@ def collate_qa(
     (gqa_dataset_entry.py:659-663) and the decoder's repeat_interleave layout.
 
     A batch whose largest graph exceeds the configured dense per-graph
-    padding is **bumped up the dense ladder** (core/packing.py:
-    DEFAULT_DENSE_NPG/EPG — at most a handful of extra jit traces) instead of
-    silently dropping to the 12x-slower flat path; only a graph beyond the
-    top rung (>128 nodes / >1024 edges, beyond every observed GQA scene)
-    falls back to flat, with a warning and a counter (``collate_stats``).
+    padding **doubles the configured padding until it fits** (a bounded
+    ladder of at most 3 extra jit traces, anchored at the configured value
+    so any divisibility it had — e.g. by --edge-parallel — is preserved)
+    instead of silently dropping to the 12x-slower flat path; only a graph
+    beyond 8x the configured padding (>512 nodes at the default 64, beyond
+    every observed GQA scene) falls back to flat, with a warning and a
+    counter (``collate_stats``). Under --data-parallel the trainer aligns
+    the shapes across each step's group (parallel/data_parallel.py:
+    repack_dense_group) before stacking.
     """
     import logging
 
     from graphvqa_tpu.core.native import (
         pack_graphs_dense_native, pack_graphs_native)
-    from graphvqa_tpu.core.packing import pick_dense_epg, pick_dense_npg
     graph_samples = [it["graph"] for it in items]
     max_n = max(g.num_nodes for g in graph_samples)
     max_e = max(g.num_edges for g in graph_samples)
+
+    def bump(base, need, cap_mult=8):
+        # double the CONFIGURED padding until it fits (preserves any
+        # divisibility the configured value had, e.g. --edge-parallel 3
+        # with --nodes-per-graph 96); beyond cap_mult x -> flat
+        v = base
+        while v < need and v < base * cap_mult:
+            v *= 2
+        return v if need <= v else None
+
     npg = epg = None
     if batch_cfg.layout == "dense":
-        try:
-            npg = max(batch_cfg.nodes_per_graph, pick_dense_npg(max_n))
-            epg = max(batch_cfg.edges_per_graph, pick_dense_epg(max_e))
-        except ValueError:
+        npg = bump(batch_cfg.nodes_per_graph, max_n)
+        epg = bump(batch_cfg.edges_per_graph, max_e)
+        if npg is None or epg is None:
             npg = epg = None   # beyond the dense ladder -> flat
     if npg is not None:
         bumped = (npg != batch_cfg.nodes_per_graph

@@ -61,18 +61,20 @@ class ProgramDecoder(nn.Module):
                                          name="vocab_decoder")
 
     def _instruction_vectors(self, memory, deterministic):
-        """Coarse stage -> (instr [M, B, D], expanded memory [B*M, Lq, D])."""
+        """Coarse stage -> (instr [M, B, D], flattened instr [B*M, D]).
+
+        The flat ordering is (b0 s0..s4, b1 s0..s4, ...), matching the 5x
+        flattened program stream (gqa_dataset_entry.py:659-663); neither
+        consumer expands the memory any more (packed block-causal fine
+        decode / grouped cross-KV sampling)."""
         B = memory.shape[0]
         queries = jnp.broadcast_to(
             self.query_embed[None], (B, self.num_queries, self.hidden_dim))
         instr = self.coarse_decoder(queries, memory, tgt_mask=None,
                                     deterministic=deterministic)  # [B, M, D]
-        # expanded ordering = (b0 s0..s4, b1 s0..s4, ...) matching the 5x
-        # flattened program stream (gqa_dataset_entry.py:659-663)
         instr_flat = instr.reshape(B * self.num_queries, self.hidden_dim)
-        memory_rep = jnp.repeat(memory, self.num_queries, axis=0)
         instr_mbd = jnp.transpose(instr, (1, 0, 2))  # [M, B, D]
-        return instr_mbd, instr_flat, memory_rep
+        return instr_mbd, instr_flat
 
     def _embed_program(self, tokens, instr_flat, deterministic):
         """Token embedding with the <start> slot replaced by the instruction
@@ -88,7 +90,7 @@ class ProgramDecoder(nn.Module):
         tgt: jax.Array,        # [B*M, Lp] teacher-forcing input tokens
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        instr_mbd, instr_flat, _ = self._instruction_vectors(
+        instr_mbd, instr_flat = self._instruction_vectors(
             memory, deterministic)
         x = self._embed_program(tgt, instr_flat, deterministic)
         BM, L, D = x.shape
@@ -116,8 +118,11 @@ class ProgramDecoder(nn.Module):
         ``_embed_program``'s concat semantics."""
         x = self.text_embed(tokens[:, None])            # [BM, 1, 300]
         x = (self.emb_proj(x) * math.sqrt(self.hidden_dim))[:, 0, :]
-        x = x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :]
-        return jnp.where(jnp.equal(t, 0), instr_flat, x)
+        # cast the f32 positional row: bf16 + f32 would promote the whole
+        # decode stack to f32 (same fix as PositionalEncoding.__call__)
+        x = x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :].astype(
+            x.dtype)
+        return jnp.where(jnp.equal(t, 0), instr_flat.astype(x.dtype), x)
 
     def sample(
         self,
@@ -131,7 +136,7 @@ class ProgramDecoder(nn.Module):
         non-deterministic call would half-apply dropout (coarse stage only) —
         fail loudly instead."""
         assert deterministic, "sample() is eval-only (KV cache has no dropout)"
-        instr_mbd, instr_flat, _ = self._instruction_vectors(
+        instr_mbd, instr_flat = self._instruction_vectors(
             memory, deterministic)
         T = self.max_decode_len
         BM = instr_flat.shape[0]
@@ -195,7 +200,8 @@ class FullAnswerDecoder(nn.Module):
     def _embed_step(self, tokens: jax.Array, t) -> jax.Array:
         x = self.text_embed(tokens[:, None])
         x = (self.emb_proj(x) * math.sqrt(self.hidden_dim))[:, 0, :]
-        return x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :]
+        return x + jnp.take(self.pos_encoder.pe, t, axis=0)[None, :].astype(
+            x.dtype)
 
     def sample(self, memory, deterministic: bool = True) -> jax.Array:
         """KV-cached greedy decode (see ProgramDecoder.sample). Eval-only."""

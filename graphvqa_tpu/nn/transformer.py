@@ -218,29 +218,13 @@ class DecoderLayer(nn.Module):
         ff = self.drop(ff, deterministic=deterministic)
         return self.linear2(ff)
 
-    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True,
-                 memory_group: int = 1):
-        """``memory_group=M`` declares that ``tgt`` is an M-fold b-major
-        expansion of ``memory``'s batch (row b*M+m of tgt attends to memory
-        row b — the reference's ``memory.repeat_interleave(M)``,
-        pipeline_model_gat.py:369). Cross-attention then reshapes the
-        queries [B*M, T, D] -> [B, M*T, D] so memory K/V are projected ONCE
-        per question instead of M times and the repeated memory array never
-        materializes — exact same math (each query row still attends to its
-        own memory's L positions only)."""
+    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
         attn = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
                               deterministic=deterministic)
         tgt = tgt + self.drop(attn, deterministic=deterministic)
         tgt = self.norm1(tgt)
-        if memory_group > 1:
-            BM, T, D = tgt.shape
-            q = tgt.reshape(BM // memory_group, memory_group * T, D)
-            cross = self.cross_attn(q, memory, memory,
-                                    deterministic=deterministic)
-            cross = cross.reshape(BM, T, D)
-        else:
-            cross = self.cross_attn(tgt, memory, memory,
-                                    deterministic=deterministic)
+        cross = self.cross_attn(tgt, memory, memory,
+                                deterministic=deterministic)
         tgt = tgt + self.drop(cross, deterministic=deterministic)
         tgt = self.norm2(tgt)
         tgt = tgt + self.drop(self._ffn(tgt, deterministic),
@@ -309,15 +293,11 @@ class TransformerDecoder(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        name="final_norm")
 
-    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True,
-                 memory_group: int = 1):
-        """``memory_group``: see DecoderLayer.__call__ — pass the unexpanded
-        memory with the expansion factor instead of repeat_interleave'ing."""
+    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
         x = tgt
         for layer in self.layers:
             x = layer(x, memory, tgt_mask=tgt_mask,
-                      deterministic=deterministic,
-                      memory_group=memory_group)
+                      deterministic=deterministic)
         return self.final_norm(x)
 
     # -- incremental (KV-cached) greedy-decode path ------------------------

@@ -37,6 +37,22 @@ from graphvqa_tpu.train.metrics import (
 from graphvqa_tpu.train.train_state import TrainState
 
 
+def align_dense_group(batches: Sequence[QABatch]) -> list:
+    """Align the static dense shapes across one data-parallel group.
+
+    collate_qa may bump a batch's per-graph padding for an oversized scene
+    (data/dataset.py); members of one step's group must agree on static
+    shapes before stacking, so every member repacks to the group maxima
+    (pure layout surgery, core/packing.py:repack_dense)."""
+    from graphvqa_tpu.core.packing import repack_dense
+    if len(batches) <= 1 or not batches[0].graphs.has_dense_layout:
+        return list(batches)
+    npg = max(b.graphs.nodes_per_graph for b in batches)
+    epg = max(b.graphs.edges_per_graph for b in batches)
+    return [b.replace(graphs=repack_dense(b.graphs, npg, epg))
+            for b in batches]
+
+
 def stack_shards(batches: Sequence[QABatch]) -> QABatch:
     """Stack per-shard batches along a new leading 'data' axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)

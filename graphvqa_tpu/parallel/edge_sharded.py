@@ -170,13 +170,36 @@ def stacked_batch_sharding(mesh: Mesh, stacked: QABatch) -> QABatch:
         lambda path, leaf: NamedSharding(mesh, spec_of(path, leaf)), stacked)
 
 
+def dst_shard_need(graphs: GraphBatch, k: int) -> int:
+    """Largest (graph, shard) bucket load under dst-ownership partitioning
+    — the minimum edges_per_shard that fits this batch."""
+    B, npg, epg = graphs.num_graphs, graphs.nodes_per_graph, \
+        graphs.edges_per_graph
+    dst = np.asarray(graphs.edge_dst).reshape(-1)
+    mask = np.asarray(graphs.edge_mask).reshape(-1)
+    gids = np.repeat(np.arange(B, dtype=np.int64), epg)
+    key = gids * k + (dst % npg) % k
+    load = np.bincount(key[mask], minlength=B * k) if mask.any() else [0]
+    return int(np.max(load))
+
+
 def prepare_dp_edge_batch(batches: Sequence[QABatch], mesh: Mesh,
                           edges_per_shard: Optional[int] = None) -> QABatch:
-    """Host-side: stack per-data-shard batches, partition each one's edges by
-    destination ownership over the edge axis, and device_put with the right
+    """Host-side: align the group's dense shapes, partition each batch's
+    edges by destination ownership over the edge axis with ONE common
+    per-shard padding (members of a step's group must agree on static
+    shapes), stack over the data axis, and device_put with the right
     shardings."""
-    from graphvqa_tpu.parallel.data_parallel import stack_shards
+    from graphvqa_tpu.parallel.data_parallel import (
+        align_dense_group, stack_shards)
     k = mesh.shape["edge"]
+    batches = align_dense_group(batches)
+    if edges_per_shard is None:
+        epg = batches[0].graphs.edges_per_graph
+        need = max(dst_shard_need(b.graphs, k) for b in batches)
+        edges_per_shard = max(epg // k, 1)
+        while edges_per_shard < need:
+            edges_per_shard = min(edges_per_shard * 2, epg)
     batches = [b.replace(graphs=shard_edges_by_dst(
         b.graphs, k, edges_per_shard=edges_per_shard)) for b in batches]
     stacked = stack_shards([jax.tree.map(jnp.asarray, b) for b in batches])

@@ -146,9 +146,14 @@ def test_collate_bumps_dense_bucket_for_large_graph():
     assert batch.graphs.nodes_per_graph == 128
     assert collate_stats["dense_bumped"] == before["dense_bumped"] + 1
 
-    # 300-node scene: beyond the ladder -> flat fallback, counted
-    before = dict(collate_stats)
+    # 300-node scene: still within 8x the configured padding -> dense at 512
     batch = collate_qa([item(300, 900), item(10, 30)], cfg, vocab)
+    assert batch.graphs.has_dense_layout
+    assert batch.graphs.nodes_per_graph == 512
+
+    # 600-node scene: beyond 8x -> flat fallback, counted
+    before = dict(collate_stats)
+    batch = collate_qa([item(600, 900), item(10, 30)], cfg, vocab)
     assert not batch.graphs.has_dense_layout
     assert collate_stats["flat_fallback"] == before["flat_fallback"] + 1
 
@@ -156,3 +161,79 @@ def test_collate_bumps_dense_bucket_for_large_graph():
     batch = collate_qa([item(20, 100), item(10, 30)], cfg, vocab)
     assert batch.graphs.has_dense_layout
     assert batch.graphs.nodes_per_graph == 64
+
+
+def test_align_dense_group_lets_mixed_buckets_stack():
+    """Round-3 review fix: a DP group where one member's collate bumped its
+    dense bucket must stack after align_dense_group (previously crashed
+    stack_shards mid-training on real GQA shapes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graphvqa_tpu.core.packing import (
+        GraphSample, pack_graphs_dense, repack_dense)
+    from graphvqa_tpu.parallel.data_parallel import (
+        align_dense_group, stack_shards)
+    from tests.helpers import random_qa_batch, tiny_model_config
+
+    cfg = tiny_model_config()
+    small = random_qa_batch(seed=1, num_graphs=2, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16, cfg=cfg)
+    big = random_qa_batch(seed=2, num_graphs=2, dense=True,
+                          nodes_per_graph=16, edges_per_graph=32, cfg=cfg)
+    aligned = align_dense_group([small, big])
+    assert all(b.graphs.nodes_per_graph == 16 for b in aligned)
+    stacked = stack_shards([jax.tree.map(jnp.asarray, b) for b in aligned])
+    assert stacked.graphs.node_tokens.shape[0] == 2  # stacked fine
+
+    # repack preserves real content
+    m0 = np.asarray(small.graphs.node_mask)
+    m1 = np.asarray(aligned[0].graphs.node_mask)
+    np.testing.assert_array_equal(
+        np.asarray(small.graphs.node_tokens)[m0],
+        np.asarray(aligned[0].graphs.node_tokens)[m1])
+    assert int(m0.sum()) == int(m1.sum())
+    assert int(np.asarray(small.graphs.edge_mask).sum()) == \
+        int(np.asarray(aligned[0].graphs.edge_mask).sum())
+
+
+def test_prepare_dp_edge_batch_mixed_hub_group():
+    """Round-3 review fix: a hub destination in ONE group member must not
+    desynchronize epg_loc across the group (previously crashed
+    stack_shards)."""
+    import jax
+    import numpy as np
+
+    from graphvqa_tpu.core.packing import GraphSample, pack_graphs_dense
+    from graphvqa_tpu.core.graph import QABatch
+    from graphvqa_tpu.parallel.mesh import make_mesh
+    from graphvqa_tpu.parallel.edge_sharded import prepare_dp_edge_batch
+    from tests.helpers import random_qa_batch, tiny_model_config
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 emulated devices")
+    cfg = tiny_model_config()
+    normal = random_qa_batch(seed=3, num_graphs=1, dense=True,
+                             nodes_per_graph=8, edges_per_graph=16, cfg=cfg)
+    # hub batch: all edges point at node 1 -> one (graph, shard) bucket
+    # needs more than epg//k slots
+    n, e = 6, 14
+    hub_graph = pack_graphs_dense([GraphSample(
+        node_tokens=np.full((n, 12), 4, np.int32),
+        edge_src=(np.arange(e) % n).astype(np.int32),
+        edge_dst=np.full((e,), 1, np.int32),
+        edge_tokens=np.full((e, 1), 4, np.int32),
+        edge_sym=np.zeros(e, bool))], 8, 16,
+        max_steps=cfg.max_execution_steps)
+    hub = normal.replace(graphs=hub_graph)
+
+    mesh = make_mesh(data=2, edge=2, devices=jax.devices()[:4])
+    stacked = prepare_dp_edge_batch([normal, hub], mesh)
+    # both data shards share ONE static per-shard edge padding
+    assert stacked.graphs.edge_src.shape[0] == 2
+    k, epg_loc_total = 2, stacked.graphs.edge_src.shape[2]
+    total_real = (int(np.asarray(normal.graphs.edge_mask).sum())
+                  + int(np.asarray(hub_graph.edge_mask).sum()))
+    assert int(np.asarray(stacked.graphs.edge_mask).sum()) == total_real
