@@ -49,6 +49,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return None  # stale binary without the dense entry point
     lib.gp_pack.restype = ctypes.c_int
     lib.gp_pack_dense.restype = ctypes.c_int
+    if hasattr(lib, "gp_shard_by_dst"):
+        lib.gp_shard_by_dst.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -226,3 +228,57 @@ def pack_graphs_dense_native(
         edge_mask=edge_mask.astype(bool), edge_sym_sign=edge_sym_sign,
         exec_bitmap=bitmap_out, num_graphs=B,
         nodes_per_graph=npg, edges_per_graph=epg)
+
+
+def shard_edges_by_dst_native(graphs: GraphBatch, k: int,
+                              edges_per_shard=None) -> GraphBatch:
+    """Native destination-ownership edge partitioner (mirror of
+    parallel/edge_sharded.py:shard_edges_by_dst; parity in
+    tests/test_native_packing.py). Falls back to the numpy path when the
+    library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gp_shard_by_dst"):
+        from graphvqa_tpu.parallel.edge_sharded import shard_edges_by_dst
+        return shard_edges_by_dst(graphs, k, edges_per_shard=edges_per_shard)
+
+    B, npg, epg = (graphs.num_graphs, graphs.nodes_per_graph,
+                   graphs.edges_per_graph)
+    assert graphs.has_dense_layout and npg % k == 0, (npg, k)
+    src = np.ascontiguousarray(np.asarray(graphs.edge_src), np.int32)
+    dst = np.ascontiguousarray(np.asarray(graphs.edge_dst), np.int32)
+    mask = np.ascontiguousarray(np.asarray(graphs.edge_mask), np.uint8)
+    etok = np.ascontiguousarray(
+        np.asarray(graphs.edge_tokens).reshape(B * epg, -1), np.int32)
+    esym = np.ascontiguousarray(
+        np.asarray(graphs.edge_sym_sign), np.float32)
+    etok_w = etok.shape[1]
+
+    epg_loc = edges_per_shard if edges_per_shard else max(epg // k, 1)
+    while True:
+        o_src = np.empty((k, B, epg_loc), np.int32)
+        o_dst = np.empty((k, B, epg_loc), np.int32)
+        o_tok = np.empty((k, B, epg_loc, etok_w), np.int32)
+        o_mask = np.empty((k, B, epg_loc), np.uint8)
+        o_sym = np.empty((k, B, epg_loc), np.float32)
+        ret = lib.gp_shard_by_dst(
+            B, npg, epg, k, epg_loc, etok_w,
+            _ptr(src, _i32p), _ptr(dst, _i32p), _ptr(mask, _u8p),
+            _ptr(etok, _i32p), _ptr(esym, _f32p),
+            _ptr(o_src, _i32p), _ptr(o_dst, _i32p), _ptr(o_tok, _i32p),
+            _ptr(o_mask, _u8p), _ptr(o_sym, _f32p))
+        if ret == 0:
+            break
+        if edges_per_shard is not None:
+            raise ValueError(
+                f"edge shard bucket overflow: a (graph, shard) needs {-ret} "
+                f"slots > edges_per_shard={epg_loc}")
+        while epg_loc < -ret:
+            epg_loc = min(epg_loc * 2, epg)
+
+    return graphs.replace(
+        edge_src=o_src.reshape(k, B * epg_loc),
+        edge_dst=o_dst.reshape(k, B * epg_loc),
+        edge_tokens=o_tok.reshape(k, B * epg_loc, etok_w),
+        edge_mask=o_mask.reshape(k, B * epg_loc).astype(bool),
+        edge_sym_sign=o_sym.reshape(k, B * epg_loc),
+    )

@@ -190,6 +190,7 @@ def prepare_dp_edge_batch(batches: Sequence[QABatch], mesh: Mesh,
     per-shard padding (members of a step's group must agree on static
     shapes), stack over the data axis, and device_put with the right
     shardings."""
+    from graphvqa_tpu.core.native import shard_edges_by_dst_native
     from graphvqa_tpu.parallel.data_parallel import (
         align_dense_group, stack_shards)
     k = mesh.shape["edge"]
@@ -200,7 +201,7 @@ def prepare_dp_edge_batch(batches: Sequence[QABatch], mesh: Mesh,
         edges_per_shard = max(epg // k, 1)
         while edges_per_shard < need:
             edges_per_shard = min(edges_per_shard * 2, epg)
-    batches = [b.replace(graphs=shard_edges_by_dst(
+    batches = [b.replace(graphs=shard_edges_by_dst_native(
         b.graphs, k, edges_per_shard=edges_per_shard)) for b in batches]
     stacked = stack_shards([jax.tree.map(jnp.asarray, b) for b in batches])
     return jax.device_put(stacked, stacked_batch_sharding(mesh, stacked))

@@ -12,6 +12,8 @@
 // Exported C ABI (all arrays caller-allocated, int32/float32/uint8):
 //   gp_pack(...)          flat padded batch from concatenated ragged inputs
 //   gp_pack_dense(...)    fully-uniform per-graph dense layout
+//   gp_shard_by_dst(...)  destination-ownership edge partitioning for the
+//                         --edge-parallel axis (parallel/edge_sharded.py)
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -185,6 +187,57 @@ int gp_pack_dense(
     }
   }
   return 0;
+}
+
+// Destination-ownership edge partitioning (mirror of
+// parallel/edge_sharded.py:shard_edges_by_dst): shard s of k receives the
+// edges whose local destination index i has i % k == s, keeping each
+// graph's dst-sorted order. Outputs are [k, B, epg_loc] row-major. Returns
+// 0 on success, or -(required epg_loc) when some (graph, shard) bucket
+// overflows — the caller widens the bucket and retries.
+int gp_shard_by_dst(
+    int32_t num_graphs, int32_t npg, int32_t epg, int32_t k,
+    int32_t epg_loc, int32_t etok_w,
+    const int32_t* src, const int32_t* dst, const uint8_t* mask,
+    const int32_t* etok, const float* esym,
+    int32_t* o_src, int32_t* o_dst, int32_t* o_tok,
+    uint8_t* o_mask, float* o_sym) {
+  const int64_t B = num_graphs;
+  // prefill: pad slots point at their own graph's last node row
+  for (int64_t s = 0; s < k; ++s) {
+    for (int64_t g = 0; g < B; ++g) {
+      const int32_t pad_node = (int32_t)(g * npg + npg - 1);
+      const int64_t base = (s * B + g) * epg_loc;
+      for (int64_t c = 0; c < epg_loc; ++c) {
+        o_src[base + c] = pad_node;
+        o_dst[base + c] = pad_node;
+        o_mask[base + c] = 0;
+        o_sym[base + c] = 1.0f;
+        for (int32_t t = 0; t < etok_w; ++t)
+          o_tok[(base + c) * etok_w + t] = 1;  // pad token id
+      }
+    }
+  }
+  std::vector<int32_t> fill((size_t)(B * k), 0);
+  int32_t need = 0;
+  for (int64_t e = 0; e < B * epg; ++e) {
+    if (!mask[e]) continue;
+    const int64_t g = e / epg;
+    const int32_t owner = (dst[e] % npg) % k;
+    const int32_t c = fill[(size_t)(g * k + owner)]++;
+    if (c >= epg_loc) {           // keep counting for the retry hint
+      if (c + 1 > need) need = c + 1;
+      continue;
+    }
+    const int64_t slot = ((int64_t)owner * B + g) * epg_loc + c;
+    o_src[slot] = src[e];
+    o_dst[slot] = dst[e];
+    o_mask[slot] = 1;
+    o_sym[slot] = esym[e];
+    for (int32_t t = 0; t < etok_w; ++t)
+      o_tok[slot * etok_w + t] = etok[e * etok_w + t];
+  }
+  return need > 0 ? -need : 0;
 }
 
 }  // extern "C"

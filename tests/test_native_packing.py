@@ -54,3 +54,23 @@ def test_native_dense_matches_python():
               "exec_bitmap"):
         np.testing.assert_array_equal(
             np.asarray(getattr(py, f)), np.asarray(getattr(cc, f)), err_msg=f)
+
+
+def test_shard_by_dst_native_matches_python():
+    """Native gp_shard_by_dst == the numpy partitioner, byte for byte."""
+    from graphvqa_tpu.core.native import shard_edges_by_dst_native
+    from graphvqa_tpu.parallel.edge_sharded import shard_edges_by_dst
+    from tests.helpers import random_qa_batch
+
+    if not native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    g = random_qa_batch(seed=31, num_graphs=3, dense=True,
+                        nodes_per_graph=8, edges_per_graph=16).graphs
+    for k in (1, 2, 4):
+        py = shard_edges_by_dst(g, k)
+        cc = shard_edges_by_dst_native(g, k)
+        for f in ("edge_src", "edge_dst", "edge_tokens", "edge_mask",
+                  "edge_sym_sign"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cc, f)), np.asarray(getattr(py, f)), f)
