@@ -1,0 +1,85 @@
+"""Convert a reference GraphVQA torch checkpoint into a resumable
+graphvqa_tpu checkpoint.
+
+    python -m graphvqa_tpu.cli.convert_ckpt_cli \
+        --torch-ckpt checkpoint.pth --out outputdir/ckpt_converted
+
+The input is the reference trainer's ``torch.save({'model': state_dict,
+...})`` (mainExplain_gat.py:371-384); the output is an orbax checkpoint
+directory that ``--resume`` accepts directly, so a reference user evaluates
+their trained model here with:
+
+    python -m graphvqa_tpu.cli.train_cli --model gat --evaluate \
+        --resume outputdir/ckpt_converted --dump-result ...
+
+Parameter mapping: models/torch_convert.py:convert_pipeline_gat (numeric
+end-to-end parity asserted by
+tests/test_pipeline_convert.py::test_full_model_converted_checkpoint_numeric_parity).
+The optimizer state starts fresh (the reference's Adam moments are not
+transferable across frameworks' flattened layouts); ``--epoch`` seeds the
+StepLR schedule position for resumed TRAINING.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("GraphVQA torch checkpoint converter",
+                                add_help=False)
+    p.add_argument("--torch-ckpt", required=True,
+                   help="reference checkpoint .pth (torch.save dict with a "
+                        "'model' state_dict, or a bare state_dict)")
+    p.add_argument("--out", required=True,
+                   help="output orbax checkpoint directory (pass to --resume)")
+    p.add_argument("--num-encoder-layers", type=int, default=3)
+    p.add_argument("--num-decoder-layers", type=int, default=3)
+    p.add_argument("--num-rounds", type=int, default=5)
+    p.add_argument("--epoch", type=int, default=None,
+                   help="schedule position to record (defaults to the "
+                        "checkpoint's saved epoch, else 0)")
+    return p
+
+
+def main(args):
+    import numpy as np
+    import torch
+
+    from graphvqa_tpu.models.torch_convert import convert_pipeline_gat, to_jax
+    from graphvqa_tpu.train.checkpoint import save_checkpoint
+    from graphvqa_tpu.train.train_state import create_train_state
+
+    blob = torch.load(args.torch_ckpt, map_location="cpu",
+                      weights_only=False)
+    sd_t = blob.get("model", blob) if isinstance(blob, dict) else blob
+    # DDP checkpoints prefix every key with 'module.'
+    sd = {k[len("module."):] if k.startswith("module.") else k:
+          v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd_t.items()}
+
+    variables = to_jax(convert_pipeline_gat(
+        sd, num_encoder_layers=args.num_encoder_layers,
+        num_decoder_layers=args.num_decoder_layers,
+        num_rounds=args.num_rounds))
+    n = sum(int(np.size(x)) for x in
+            __import__("jax").tree.leaves(variables["params"]))
+    print(f"converted {len(sd)} torch tensors -> {n/1e6:.1f}M params")
+
+    state = create_train_state(variables)
+    epoch = args.epoch
+    if epoch is None:
+        epoch = int(blob.get("epoch", 0)) if isinstance(blob, dict) else 0
+    import jax.numpy as jnp
+    state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+
+    out = pathlib.Path(args.out)
+    save_checkpoint(out, state)
+    print(f"saved orbax checkpoint at {out} (epoch={epoch}); evaluate with "
+          f"--resume {out}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "GraphVQA-TPU checkpoint converter", parents=[get_args_parser()])
+    main(parser.parse_args())

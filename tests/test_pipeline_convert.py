@@ -438,3 +438,55 @@ def test_full_model_converted_checkpoint_numeric_parity():
     np.testing.assert_allclose(
         np.asarray(out.short_answer_logits), want["short_answer_logits"],
         rtol=2e-3, atol=2e-3, err_msg="short-answer logits")
+
+
+def test_convert_ckpt_cli_roundtrip(tmp_path):
+    """End-to-end migration: a reference-style torch.save checkpoint runs
+    through the converter CLI and restores into a TrainState whose forward
+    matches applying the converted variables directly."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from graphvqa_tpu.cli.convert_ckpt_cli import get_args_parser, main
+    from graphvqa_tpu.train.checkpoint import restore_checkpoint
+    from graphvqa_tpu.train.train_state import create_train_state
+
+    cfg = tiny_model_config("gat")
+    sd = _reference_state_dict(cfg)
+    pth = tmp_path / "checkpoint.pth"
+    # DDP-style 'module.' prefixes + surrounding trainer dict, as the
+    # reference saves them (mainExplain_gat.py:371-384)
+    torch.save({"model": {"module." + k: torch.from_numpy(v)
+                          for k, v in sd.items()},
+                "epoch": 7}, pth)
+
+    out = tmp_path / "ckpt_converted"
+    parser = get_args_parser()
+    main(parser.parse_args([
+        "--torch-ckpt", str(pth), "--out", str(out),
+        "--num-encoder-layers", str(cfg.transformer.num_layers),
+        "--num-decoder-layers", str(cfg.transformer.num_layers),
+        "--num-rounds", str(cfg.engine.num_rounds)]))
+
+    converted = to_jax(convert_pipeline_gat(
+        sd, num_encoder_layers=cfg.transformer.num_layers,
+        num_decoder_layers=cfg.transformer.num_layers,
+        num_rounds=cfg.engine.num_rounds))
+    model = PipelineModel(cfg)
+    batch = random_qa_batch(cfg=cfg, dense=True)
+    model_in = batch.replace(programs=batch.programs[:, :-1],
+                             full_answers=batch.full_answers[:, :-1])
+
+    template = create_train_state(converted)
+    state, start_epoch = restore_checkpoint(str(out), template)
+    assert start_epoch == 8  # saved epoch 7 -> resume at 8
+
+    want = model.apply(converted, model_in, sample=False, deterministic=True,
+                       use_running_average=True)
+    got = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      model_in, sample=False, deterministic=True,
+                      use_running_average=True)
+    np.testing.assert_allclose(np.asarray(got.short_answer_logits),
+                               np.asarray(want.short_answer_logits),
+                               rtol=1e-6, atol=1e-6)
