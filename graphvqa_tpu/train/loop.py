@@ -165,6 +165,36 @@ def train_one_epoch(
     tput = ThroughputMeter(engine_rounds)
     profiler_on = False
 
+    # Metric dicts stay ON DEVICE until a print boundary: fetching the ~12
+    # scalar metrics every step blocks the host on the step's completion
+    # (and a relay round-trip each), serializing dispatch; deferring the
+    # jax.device_get keeps the host a few steps ahead (the DDP-style async
+    # pipeline the prefetching input thread feeds).
+    pending = []
+
+    def drain():
+        for m in jax.device_get(pending):
+            bsz = int(m["short_answer_total"])
+            tput.update(bsz, int(m.get("edge_count", 0)))
+            losses.update(float(m["total"]), bsz)
+            sa.update(100.0 * float(m["short_answer_correct"]) / max(bsz, 1),
+                      bsz)
+            pt = int(m["program_total"])
+            pa.update(100.0 * float(m["program_correct"]) / max(pt, 1), pt)
+            gt = int(m["program_group_total"])
+            pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1),
+                      gt)
+            nt = int(m["program_nonempty_total"])
+            pne.update(
+                100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
+            if "bitmap_tp" in m:
+                tp = float(m["bitmap_tp"])
+                pd = max(float(m["bitmap_pred_total"]), 1.0)
+                td = max(float(m["bitmap_true_total"]), 1.0)
+                bprec.update(100.0 * tp / pd, int(pd))
+                brec.update(100.0 * tp / td, int(td))
+        pending.clear()
+
     i = -1
     for i, (_, batch) in enumerate(batches):
         if profile_dir is not None:
@@ -175,29 +205,16 @@ def train_one_epoch(
                 jax.profiler.stop_trace()
                 profiler_on = False
         state, m = train_step(state, batch, rng)
-        bsz = int(m["short_answer_total"])
-        tput.update(bsz, int(m.get("edge_count", 0)))
-        losses.update(float(m["total"]), bsz)
-        sa.update(100.0 * float(m["short_answer_correct"]) / max(bsz, 1), bsz)
-        pt = int(m["program_total"])
-        pa.update(100.0 * float(m["program_correct"]) / max(pt, 1), pt)
-        gt = int(m["program_group_total"])
-        pg.update(100.0 * float(m["program_group_correct"]) / max(gt, 1), gt)
-        nt = int(m["program_nonempty_total"])
-        pne.update(100.0 * float(m["program_nonempty_correct"]) / max(nt, 1), nt)
-        if "bitmap_tp" in m:
-            tp = float(m["bitmap_tp"])
-            pd = max(float(m["bitmap_pred_total"]), 1.0)
-            td = max(float(m["bitmap_true_total"]), 1.0)
-            bprec.update(100.0 * tp / pd, int(pd))
-            brec.update(100.0 * tp / td, int(td))
+        pending.append(m)
         if i % print_freq == 0:
+            drain()
             progress.display(i)
             print(f"  throughput: {tput.summary()}")
             if bprec.count:
                 print(f"  {bprec}  {brec}")
     if profiler_on:
         jax.profiler.stop_trace()
+    drain()
     progress.display(i + 1)
     print(f"  throughput: {tput.summary()}")
     return state
