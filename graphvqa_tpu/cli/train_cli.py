@@ -41,6 +41,11 @@ def get_args_parser():
     p.add_argument("--lr-drop", default=90, type=int)
     p.add_argument("--wd", "--weight-decay", default=0.0, type=float,
                    dest="weight_decay")
+    p.add_argument("-j", "--workers", default=4, type=int,
+                   help="batch-collate worker processes (the reference "
+                        "DataLoader's -j, mainExplain_gat.py:201-209); 0 = "
+                        "in-process. At TPU step rates a single host thread "
+                        "cannot keep a 512-question pipeline full")
     p.add_argument("--print-freq", default=100, type=int)
     p.add_argument("--resume", default="", help="checkpoint dir to resume from")
     p.add_argument("--evaluate", action="store_true")
@@ -374,7 +379,8 @@ def main(args):
         def dp_batches(epoch):
             it = train_ds.iter_batches(cfg.batch, shuffle=True,
                                        seed=args.seed + epoch, drop_last=True,
-                                       shard_index=proc, num_shards=nproc)
+                                       shard_index=proc, num_shards=nproc,
+                                       num_workers=args.workers)
             group, metas = [], []
             for m, b in it:
                 group.append(b)
@@ -401,7 +407,8 @@ def main(args):
             return ((m, jax.tree.map(jnp.asarray, b))
                     for m, b in train_ds.iter_batches(
                         cfg.batch, shuffle=True, seed=args.seed + epoch,
-                        drop_last=True, shard_index=proc, num_shards=nproc))
+                        drop_last=True, shard_index=proc, num_shards=nproc,
+                        num_workers=args.workers))
         steps_per_epoch = len(train_ds) // nproc // args.batch_size
 
     for epoch in range(start_epoch, args.epochs):

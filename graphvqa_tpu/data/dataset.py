@@ -51,6 +51,8 @@ class GQADataset:
         self.max_steps = max_steps
         self.ans2label, self.label2ans = load_answer_maps()
         self._graph_cache: Dict[str, GraphSample] = {}
+        self._pool = None
+        self._pool_size = 0
 
     def __len__(self) -> int:
         return len(self.data)
@@ -115,12 +117,21 @@ class GQADataset:
         drop_last: bool = False,
         shard_index: int = 0,
         num_shards: int = 1,
+        num_workers: int = 0,
     ) -> Iterator[tuple]:
         """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps.
 
         ``shard_index/num_shards`` give per-host input sharding — the
         DistributedSampler replacement (mainExplain_gat.py:197-198): each host
         packs its own slice of the epoch ordering.
+
+        ``num_workers`` > 0 collates batches in that many forked worker
+        processes (the reference DataLoader's ``--workers``,
+        mainExplain_gat.py:201-209): tokenization + packing are
+        Python/GIL-bound, and at TPU step rates a single host thread cannot
+        keep a 512-question batch pipeline full. Fork start only (linux);
+        workers never touch jax. Note: ``collate_stats`` counters then live
+        in the workers, so the trainer's per-epoch layout stats read 0.
         """
         order = np.arange(len(self))
         if shuffle:
@@ -128,25 +139,64 @@ class GQADataset:
         if num_shards > 1:
             order = order[shard_index::num_shards]
         bs = batch_cfg.num_graphs
+        chunks = []
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
             if len(idx) < bs and drop_last:
                 break
-            items = [self[int(i)] for i in idx]
-            # replicate the tail to keep static shape; mask via meta length
-            real = len(items)
-            while len(items) < bs:
-                items.append(items[-1])
-            yield (
-                {"question_ids": [it["question_id"] for it in items],
-                 "image_ids": [it["image_id"] for it in items],
-                 "questions": [it["question_text"] for it in items],
-                 "answers": [it["short_answer"] for it in items],
-                 "types": [it["types"] for it in items],
-                 "real_count": real},
-                collate_qa(items, batch_cfg, self.text_vocab,
-                           max_steps=self.max_steps),
-            )
+            chunks.append(idx)
+        if num_workers <= 0:
+            for idx in chunks:
+                yield build_batch(self, idx, batch_cfg, self.max_steps)
+            return
+        pool = self._worker_pool(num_workers)
+        args = [(idx, batch_cfg, self.max_steps) for idx in chunks]
+        for out in pool.imap(_pool_build, args, chunksize=1):
+            yield out
+
+    def _worker_pool(self, num_workers: int):
+        """Persistent fork pool, created once and reused across epochs (a
+        per-epoch pool pays fork + cold per-worker graph caches every
+        epoch). The dataset is inherited by fork via a module global —
+        zero pickling."""
+        if self._pool is not None and self._pool_size == num_workers:
+            return self._pool
+        if self._pool is not None:
+            self._pool.terminate()
+        import multiprocessing as mp
+        global _WORKER_DS
+        _WORKER_DS = self
+        ctx = mp.get_context("fork")
+        self._pool = ctx.Pool(num_workers)
+        self._pool_size = num_workers
+        return self._pool
+
+
+_WORKER_DS: Optional["GQADataset"] = None
+
+
+def _pool_build(args):
+    idx, batch_cfg, max_steps = args
+    return build_batch(_WORKER_DS, idx, batch_cfg, max_steps)
+
+
+def build_batch(ds: "GQADataset", idx, batch_cfg: BatchConfig,
+                max_steps: int) -> tuple:
+    """Assemble one (meta, QABatch) from dataset indices (host-side)."""
+    items = [ds[int(i)] for i in idx]
+    # replicate the tail to keep static shape; mask via meta length
+    real = len(items)
+    while len(items) < batch_cfg.num_graphs:
+        items.append(items[-1])
+    return (
+        {"question_ids": [it["question_id"] for it in items],
+         "image_ids": [it["image_id"] for it in items],
+         "questions": [it["question_text"] for it in items],
+         "answers": [it["short_answer"] for it in items],
+         "types": [it["types"] for it in items],
+         "real_count": real},
+        collate_qa(items, batch_cfg, ds.text_vocab, max_steps=max_steps),
+    )
 
 
 # Collate layout accounting (VERDICT r2 weak 3): how often batches left the

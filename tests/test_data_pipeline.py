@@ -237,3 +237,34 @@ def test_prepare_dp_edge_batch_mixed_hub_group():
     total_real = (int(np.asarray(normal.graphs.edge_mask).sum())
                   + int(np.asarray(hub_graph.edge_mask).sum()))
     assert int(np.asarray(stacked.graphs.edge_mask).sum()) == total_real
+
+
+def test_iter_batches_workers_match_inprocess(tmp_path):
+    """num_workers>0 must yield byte-identical batches in the same order as
+    the in-process path (fork workers, zero pickling of the dataset)."""
+    import json
+    import pathlib
+    import shutil
+
+    import jax
+    import numpy as np
+
+    from graphvqa_tpu.config import BatchConfig
+    from graphvqa_tpu.data import (GQADataset, build_scene_graph_vocab,
+                                   build_text_vocab, tokenize)
+
+    assets = pathlib.Path("graphvqa_tpu/assets/debug")
+    data = json.loads((assets / "debug_programs.json").read_text())
+    sg_vocab = build_scene_graph_vocab()
+    text_vocab = build_text_vocab(data, tokenize)
+    ds = GQADataset(assets / "debug_programs.json",
+                    assets / "debug_sceneGraphs.json", text_vocab, sg_vocab)
+    bcfg = BatchConfig(num_graphs=3, nodes_per_graph=32, edges_per_graph=256)
+
+    a = list(ds.iter_batches(bcfg, shuffle=True, seed=5))
+    b = list(ds.iter_batches(bcfg, shuffle=True, seed=5, num_workers=2))
+    assert len(a) == len(b) > 0
+    for (ma, ba), (mb, bb) in zip(a, b):
+        assert ma["question_ids"] == mb["question_ids"]
+        for xa, xb in zip(jax.tree.leaves(ba), jax.tree.leaves(bb)):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
