@@ -12,6 +12,15 @@ their trained model here with:
     python -m graphvqa_tpu.cli.train_cli --model gat --evaluate \
         --resume outputdir/ckpt_converted --dump-result ...
 
+Pass ``--torch-vocab questions/GQA_TEXT_obj.pkl`` to ALSO import the
+reference's pickled torchtext vocabulary (gqa_dataset_entry.py:546-578) as
+``text_vocab.json`` next to the checkpoint — required for correctness: the
+converted ``text_vocab_embedding`` rows are indexed by that vocab's exact
+``itos`` order, and the trainer loads ``out_dir/text_vocab.json`` in
+preference to rebuilding one locally (cli/train_cli.py).  No torchtext
+install is needed (data/torchtext_import.py).  ``--torch-vocab`` also works
+standalone (without ``--torch-ckpt``).
+
 Parameter mapping: models/torch_convert.py:convert_pipeline_gat (numeric
 end-to-end parity asserted by
 tests/test_pipeline_convert.py::test_full_model_converted_checkpoint_numeric_parity).
@@ -28,11 +37,20 @@ import pathlib
 def get_args_parser():
     p = argparse.ArgumentParser("GraphVQA torch checkpoint converter",
                                 add_help=False)
-    p.add_argument("--torch-ckpt", required=True,
+    p.add_argument("--torch-ckpt", default="",
                    help="reference checkpoint .pth (torch.save dict with a "
                         "'model' state_dict, or a bare state_dict)")
-    p.add_argument("--out", required=True,
+    p.add_argument("--out", default="",
                    help="output orbax checkpoint directory (pass to --resume)")
+    p.add_argument("--torch-vocab", default="",
+                   help="reference GQA_TEXT_obj.pkl (pickled torchtext "
+                        "Field, gqa_dataset_entry.py:546-578); imported "
+                        "without torchtext into text_vocab.json so converted "
+                        "embedding rows index correctly")
+    p.add_argument("--vocab-out", default="",
+                   help="where to write the imported text_vocab.json "
+                        "(default: the parent of --out, i.e. the trainer's "
+                        "output_dir, which is where the trainer looks)")
     p.add_argument("--num-encoder-layers", type=int, default=3)
     p.add_argument("--num-decoder-layers", type=int, default=3)
     p.add_argument("--num-rounds", type=int, default=5)
@@ -44,6 +62,27 @@ def get_args_parser():
 
 def main(args):
     import numpy as np
+
+    if not args.torch_ckpt and not args.torch_vocab:
+        raise SystemExit("nothing to do: pass --torch-ckpt and/or "
+                         "--torch-vocab")
+    if args.torch_ckpt and not args.out:
+        raise SystemExit("--torch-ckpt requires --out")
+
+    if args.torch_vocab:
+        from graphvqa_tpu.data.torchtext_import import import_reference_vocab
+        vocab_out = pathlib.Path(args.vocab_out) if args.vocab_out else (
+            pathlib.Path(args.out).resolve().parent / "text_vocab.json")
+        vocab_out.parent.mkdir(parents=True, exist_ok=True)
+        glove_out = vocab_out.with_name("glove_text.npy")
+        n, wrote_glove = import_reference_vocab(
+            args.torch_vocab, vocab_out, glove_out)
+        print(f"imported reference vocab: {n} tokens -> {vocab_out}"
+              + (f" (+ aligned GloVe matrix {glove_out})" if wrote_glove
+                 else " (no pretrained vectors in the pickle)"))
+        if not args.torch_ckpt:
+            return
+
     import torch
 
     from graphvqa_tpu.models.torch_convert import convert_pipeline_gat, to_jax

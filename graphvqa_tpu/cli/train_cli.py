@@ -66,6 +66,9 @@ def get_args_parser():
                    help="GloVe file (.txt glove.6B.300d format, or a cached "
                         ".npy matrix) injected into the shared text embedding "
                         "at init (pipeline_model_gat.py:633-634)")
+    p.add_argument("--glove-allow-missing", action="store_true",
+                   help="proceed with zero-injected embeddings when --glove "
+                        "points at a nonexistent file (default: error)")
     p.add_argument("--glove-sg", action="store_true",
                    help="also inject GloVe into the scene-graph embedding "
                         "(the reference builds SG vectors too, "
@@ -132,7 +135,14 @@ def _load_glove(args, text_vocab, sg_vocab, out_dir):
     if not args.glove:
         return None, None
     path = pathlib.Path(args.glove)
+    allow_missing = getattr(args, "glove_allow_missing", False)
     if path.suffix == ".npy":
+        if not path.exists():
+            if not allow_missing:
+                raise FileNotFoundError(
+                    f"GloVe matrix not found: {path} — pass "
+                    f"--glove-allow-missing to proceed with zero embeddings")
+            return np.zeros((len(text_vocab), 300), np.float32), None
         text_mat = np.load(path)
         sg_mat = None
         if args.glove_sg:
@@ -143,7 +153,8 @@ def _load_glove(args, text_vocab, sg_vocab, out_dir):
     if cache.exists():
         text_mat = np.load(cache)
     else:
-        text_mat = load_glove_matrix(text_vocab, path)
+        text_mat = load_glove_matrix(text_vocab, path,
+                                     allow_missing=allow_missing)
         np.save(cache, text_mat)
     sg_mat = None
     if args.glove_sg:
@@ -151,7 +162,8 @@ def _load_glove(args, text_vocab, sg_vocab, out_dir):
         if sg_cache.exists():
             sg_mat = np.load(sg_cache)
         else:
-            sg_mat = load_glove_matrix(sg_vocab, path)
+            sg_mat = load_glove_matrix(sg_vocab, path,
+                                       allow_missing=allow_missing)
             np.save(sg_cache, sg_mat)
     return text_mat, sg_mat
 
@@ -192,6 +204,12 @@ def main(args):
     if jax.process_index() == 0:
         logging.basicConfig(
             filename=out_dir / f"log-{args.model}.txt", level=logging.INFO)
+        # run provenance header (mainExplain_gat.py:147-150)
+        from graphvqa_tpu.train.logging_utils import get_sha
+        stamp = f"git: {get_sha()}"
+        print(stamp)
+        logging.info(stamp)
+        logging.info("args: %s", vars(args))
 
     root = pathlib.Path(args.data_root)
 

@@ -136,16 +136,22 @@ def load_answer_maps(asset_dir: Optional[pathlib.Path] = None):
 
 
 def load_glove_matrix(vocab: Vocab, glove_path,
-                      dim: int = 300, seed: int = 0) -> np.ndarray:
-    """Build an embedding init matrix from a GloVe text file when available;
-    rows missing from GloVe get zeros (torchtext behavior). The artifact is
-    saved as .npy and consumed at model-init time."""
-    rng = np.random.default_rng(seed)
-    del rng
+                      dim: int = 300, allow_missing: bool = False
+                      ) -> np.ndarray:
+    """Build an embedding init matrix from a GloVe text file; rows missing
+    from GloVe get zeros (torchtext behavior). The artifact is saved as .npy
+    and consumed at model-init time.
+
+    A nonexistent file raises unless ``allow_missing=True`` — a typo'd path
+    must not silently train with all-zero injected embeddings."""
     mat = np.zeros((len(vocab), dim), dtype=np.float32)
     glove_path = pathlib.Path(glove_path)
     if not glove_path.exists():
-        return mat
+        if allow_missing:
+            return mat
+        raise FileNotFoundError(
+            f"GloVe file not found: {glove_path} — pass "
+            f"--glove-allow-missing to proceed with zero embeddings")
     want = set(vocab.stoi)
     with glove_path.open() as f:
         for line in f:

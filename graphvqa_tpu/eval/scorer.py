@@ -265,11 +265,50 @@ def format_report(scores: dict, consistency: bool = False,
     return "\n".join(lines)
 
 
+def load_json_or_chunks(name):
+    """Load a JSON file, or merge a directory of chunks (the official
+    eval.py's big-file protocol, eval.py:102-116).
+
+    Accepts: (a) a plain file; (b) a path whose stem names a sibling chunk
+    directory, e.g. ``val_all_questions.json`` with chunks at
+    ``val_all_questions/val_all_questions_*.json`` (the reference layout);
+    (c) a directory itself, merging every ``*.json`` inside.  Dict chunks
+    merge by key update; list chunks concatenate.
+    """
+    p = pathlib.Path(name)
+    if p.is_file():
+        return json.loads(p.read_text())
+    if p.is_dir():
+        chunks = sorted(p.glob("*.json"))
+    else:
+        # reference form: name="dir.json" -> chunks dir/dir_*.json
+        stem_dir = p.with_suffix("")
+        if not stem_dir.is_dir():
+            raise FileNotFoundError(f"can't find {name} (no file, no chunk "
+                                    f"directory {stem_dir})")
+        ext = p.suffix.lstrip(".") or "json"
+        chunks = sorted(stem_dir.glob(f"{stem_dir.name}_*.{ext}"))
+    if not chunks:
+        raise FileNotFoundError(f"no JSON chunks found for {name}")
+    data = None
+    for chunk in chunks:
+        part = json.loads(chunk.read_text())
+        if data is None:
+            data = part
+        elif isinstance(data, dict):
+            data.update(part)
+        else:
+            data.extend(part)
+    return data
+
+
 def main():
     parser = argparse.ArgumentParser("GQA official scorer")
     parser.add_argument("--questions", required=True)
     parser.add_argument("--predictions", required=True,
-                        help="dump_results.json from validate()")
+                        help="dump_results.json from validate(); every file "
+                             "argument also accepts a directory of chunks "
+                             "(official eval.py:102-116)")
     parser.add_argument("--choices", default=None)
     parser.add_argument("--consistency", action="store_true")
     parser.add_argument("--grounding", action="store_true")
@@ -283,18 +322,17 @@ def main():
     parser.add_argument("--map-size", type=int, default=7)
     args = parser.parse_args()
 
-    questions = json.loads(pathlib.Path(args.questions).read_text())
-    dump = json.loads(pathlib.Path(args.predictions).read_text())
+    questions = load_json_or_chunks(args.questions)
+    dump = load_json_or_chunks(args.predictions)
     predictions = {qid: d["prediction"] for qid, d in dump.items()}
-    choices = (json.loads(pathlib.Path(args.choices).read_text())
-               if args.choices else None)
+    choices = load_json_or_chunks(args.choices) if args.choices else None
     attentions = scenes = None
     if args.grounding:
         if not args.attentions or not args.scenes:
             parser.error("--grounding requires --attentions and --scenes")
-        raw = json.loads(pathlib.Path(args.attentions).read_text())
+        raw = load_json_or_chunks(args.attentions)
         attentions = {a["questionId"]: a["attention"] for a in raw}
-        scenes = json.loads(pathlib.Path(args.scenes).read_text())
+        scenes = load_json_or_chunks(args.scenes)
     scores = score_predictions(questions, predictions, choices,
                                consistency=args.consistency,
                                attentions=attentions, scenes=scenes,

@@ -15,6 +15,30 @@ from collections import deque
 from typing import Dict, Iterable, List
 
 
+def get_sha() -> str:
+    """Git provenance stamp for the run log header (reference:
+    util/misc.py:248-265, printed at mainExplain_gat.py:149)."""
+    import os
+    import subprocess
+
+    cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def _run(cmd):
+        return subprocess.check_output(
+            cmd, cwd=cwd, stderr=subprocess.DEVNULL).decode("ascii").strip()
+
+    sha = branch = "N/A"
+    diff = "clean"
+    try:
+        sha = _run(["git", "rev-parse", "HEAD"])
+        diff = ("has uncommitted changes"
+                if _run(["git", "diff-index", "HEAD"]) else "clean")
+        branch = _run(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+    except Exception:
+        pass
+    return f"sha: {sha}, status: {diff}, branch: {branch}"
+
+
 class AverageMeter:
     def __init__(self, name: str, fmt: str = ":f"):
         self.name, self.fmt = name, fmt
