@@ -19,6 +19,15 @@ _PUNCT = ".,!?;:\"()[]{}"
 # spacy infix rule: hyphens/slashes between letters split into three tokens
 # ("t-shirt" -> t | - | shirt), matching en_core_web_sm's infix patterns
 _INFIX = re.compile(r"(?<=[A-Za-z0-9])([\-/])(?=[A-Za-z0-9])")
+# spacy tokenizer-exception table entries that the contraction regex can't
+# derive (en_core_web_sm splits these mid-word)
+_EXCEPTIONS = {
+    "cannot": ["can", "not"],
+    "gonna": ["gon", "na"],
+    "gotta": ["got", "ta"],
+    "wanna": ["wan", "na"],
+    "lemme": ["lem", "me"],
+}
 
 
 def tokenize(text: str) -> List[str]:
@@ -42,6 +51,14 @@ def _tokenize_chunk(chunk: str, out: List[str]) -> None:
         chunk = chunk[:-1]
     out.extend(lead)
     for part in _INFIX.split(chunk) if chunk else ():
+        exc = _EXCEPTIONS.get(part.lower())
+        if exc is not None:
+            # preserve the original casing of the first piece like spacy
+            # ("Cannot" -> "Can", "not")
+            first = part[: len(exc[0])]
+            out.append(first)
+            out.extend(exc[1:])
+            continue
         m = _CONTRACTION.match(part)
         if m and m.group(1):
             out.append(m.group(1))

@@ -2,9 +2,11 @@
 
 Equivalents of the reference's ``AverageMeter`` / ``ProgressMeter`` /
 ``SmoothedValue`` / ``MetricLogger`` (mainExplain_gat.py:948-993,
-util/misc.py:26-245), minus the torch.distributed sync — cross-process metric
-reduction happens in-graph via psum (parallel/collectives.py) before these see
-scalars.
+util/misc.py:26-245). Cross-process reduction: DP *train* metrics arrive
+already psummed in-graph over the mesh (parallel/data_parallel.py), while
+*validate* computes per-row metrics host-side per process —
+``AverageMeter.synchronize()`` (the SmoothedValue.synchronize_between_processes
+equivalent, util/misc.py:44-55) folds those into global values.
 """
 from __future__ import annotations
 
@@ -48,15 +50,39 @@ class AverageMeter:
         self.val = 0.0
         self.sum = 0.0
         self.count = 0
+        # contributions gathered from OTHER processes by synchronize()
+        self._ext_sum = 0.0
+        self._ext_count = 0
 
     def update(self, val: float, n: int = 1):
         self.val = float(val)
         self.sum += float(val) * n
         self.count += n
 
+    def synchronize(self):
+        """Fold in every other process's (sum, count) so avg is global
+        (reference SmoothedValue.synchronize_between_processes,
+        util/misc.py:44-55). Repeat-safe: local updates stay local and the
+        foreign contribution is recomputed from scratch each call, so this
+        can run before every display. COLLECTIVE: every process must call
+        it the same number of times (iter_batches equalizes per-shard batch
+        counts for exactly this reason)."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        from graphvqa_tpu.parallel.collectives import all_gather_host
+        parts = all_gather_host((self.sum, self.count))
+        self._ext_sum = float(sum(p[0] for p in parts)) - self.sum
+        self._ext_count = int(sum(p[1] for p in parts)) - self.count
+
     @property
     def avg(self) -> float:
-        return self.sum / max(self.count, 1)
+        return ((self.sum + self._ext_sum)
+                / max(self.count + self._ext_count, 1))
+
+    @property
+    def global_count(self) -> int:
+        return self.count + self._ext_count
 
     def __str__(self):
         fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"

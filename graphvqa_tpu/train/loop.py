@@ -195,8 +195,28 @@ def train_one_epoch(
                 brec.update(100.0 * tp / td, int(td))
         pending.clear()
 
+    # data-wait accounting (the reference's data_time meter,
+    # mainExplain_gat.py:391-392,420): time the host spends blocked on the
+    # input pipeline vs total wall time. train_step dispatch is async, so
+    # a device-bound epoch shows low data-wait (host blocks in drain()'s
+    # device_get instead) and an input-bound epoch shows high data-wait.
+    import time
+    data_time = 0.0
+    epoch_t0 = time.perf_counter()
+
+    def wait_pct():
+        return 100.0 * data_time / max(time.perf_counter() - epoch_t0, 1e-9)
+
     i = -1
-    for i, (_, batch) in enumerate(batches):
+    it = iter(batches)
+    while True:
+        f0 = time.perf_counter()
+        try:
+            _, batch = next(it)
+        except StopIteration:
+            break
+        data_time += time.perf_counter() - f0
+        i += 1
         if profile_dir is not None:
             if i == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
@@ -209,15 +229,25 @@ def train_one_epoch(
         if i % print_freq == 0:
             drain()
             progress.display(i)
-            print(f"  throughput: {tput.summary()}")
+            print(f"  throughput: {tput.summary()}, "
+                  f"data-wait {wait_pct():.1f}%")
             if bprec.count:
                 print(f"  {bprec}  {brec}")
     if profiler_on:
         jax.profiler.stop_trace()
     drain()
     progress.display(i + 1)
-    print(f"  throughput: {tput.summary()}")
+    print(f"  epoch sustained: {tput.summary()}, data-wait {wait_pct():.1f}%"
+          f" ({time.perf_counter() - epoch_t0:.1f}s wall)")
     return state
+
+
+def _sync_meters(*meters):
+    """Cross-process metric reduction for the host-computed validate meters
+    (no-op single-process)."""
+    if jax.process_count() > 1:
+        for m in meters:
+            m.synchronize()
 
 
 def _print_qualitative(meta, batch, prog_np, sa_pred_np, text_vocab,
@@ -302,7 +332,7 @@ def validate(
         pg.update(100.0 * float(gmatch.sum()) / max(real, 1), real)
         nt = real * M - int(empty.sum())
         pne.update(100.0 * float(match.sum() - empty.sum()) / max(nt, 1), nt)
-        if "execution_bitmap" in vec:
+        if "execution_bitmap" in vec and real > 0:
             # bitmap precision/recall over real graphs' nodes only
             # (mainExplain_gat.py:1013-1042)
             bm_pred = jax.device_get(vec["execution_bitmap"])
@@ -369,7 +399,13 @@ def validate(
                     {"questionId": str(meta["question_ids"][b]),
                      "attention": boxes})
         if i % print_freq == 0:
+            _sync_meters(sa, pa, pg, pne, bprec, brec)
             progress.display(i)
+    # global (not shard-local) metrics before the final display and the
+    # return (reference: SmoothedValue.synchronize_between_processes +
+    # reduce_dict, util/misc.py:44-55,131-155). Safe as a collective:
+    # iter_batches equalizes per-shard batch counts.
+    _sync_meters(sa, pa, pg, pne, bprec, brec)
     progress.display(i + 1)
 
     # multi-process validation: every process holds 1/P of the results
@@ -398,7 +434,7 @@ def validate(
 
     out = {"short_answer_acc": sa.avg, "program_acc": pa.avg,
            "program_group_acc": pg.avg, "program_nonempty_acc": pne.avg}
-    if bprec.count:
+    if bprec.global_count:
         out["bitmap_precision"] = bprec.avg
         out["bitmap_recall"] = brec.avg
     return out

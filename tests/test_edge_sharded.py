@@ -32,11 +32,15 @@ from tests.helpers import random_qa_batch, tiny_model_config
 
 
 def _dropout_free_cfg(kind="gat"):
+    # exactness tests, not capacity tests: shave every compile-time lever
+    # (rounds/layers/steps) so the fast tier stays fast (VERDICT r3 weak 7)
     m = tiny_model_config(kind)
     m = dataclasses.replace(
         m,
-        transformer=dataclasses.replace(m.transformer, dropout=0.0),
-        engine=dataclasses.replace(m.engine, dropout=0.0),
+        transformer=dataclasses.replace(m.transformer, dropout=0.0,
+                                        num_layers=1),
+        engine=dataclasses.replace(m.engine, dropout=0.0, num_rounds=2),
+        max_execution_steps=2,
         classifier_dropout=0.0,
     )
     return Config(model=m, batch=BatchConfig(), train=TrainConfig())

@@ -40,6 +40,31 @@ CASES = [
       "person", "?"]),
     ("What's the color of the couch?",
      ["What", "'s", "the", "color", "of", "the", "couch", "?"]),
+    # numerics: bare counts, decimals, and clock times stay single tokens
+    ("Are there 2 cats on the couch?",
+     ["Are", "there", "2", "cats", "on", "the", "couch", "?"]),
+    ("Is the bottle 1.5 liters?",
+     ["Is", "the", "bottle", "1.5", "liters", "?"]),
+    ("Does the clock say 2:30?",
+     ["Does", "the", "clock", "say", "2:30", "?"]),
+    # quotes around a word
+    ('Is the sign that says "stop" red?',
+     ["Is", "the", "sign", "that", "says", '"', "stop", '"', "red", "?"]),
+    # multi-hyphen compounds split at every infix hyphen
+    ("Is the state-of-the-art phone black?",
+     ["Is", "the", "state", "-", "of", "-", "the", "-", "art", "phone",
+      "black", "?"]),
+    ("Do you see a blue-and-white striped shirt?",
+     ["Do", "you", "see", "a", "blue", "-", "and", "-", "white", "striped",
+      "shirt", "?"]),
+    # spacy tokenizer-exception table entries (not derivable from the
+    # contraction suffix rule)
+    ("You cannot see the horse.",
+     ["You", "can", "not", "see", "the", "horse", "."]),
+    ("It's ten o'clock.", ["It", "'s", "ten", "o'clock", "."]),
+    # slash infix
+    ("Is there a salt/pepper shaker?",
+     ["Is", "there", "a", "salt", "/", "pepper", "shaker", "?"]),
 ]
 
 
@@ -69,3 +94,50 @@ def test_debug_questions_tokenize_cleanly():
         toks = tokenize(q["question"])
         assert toks and toks[-1] == "?"
         assert all(t.strip() for t in toks)
+
+
+def test_token_audit_report():
+    """preprocess_cli --audit-tokens backend (VERDICT r3 item 3): construct
+    coverage, suspicious tokens, unknown-rate vs a vocab."""
+    from graphvqa_tpu.data.token_audit import audit_tokens, format_report
+    from graphvqa_tpu.data.vocab import Vocab
+
+    texts = [
+        "Isn't the sky blue?",             # contraction
+        "Who took the man's hat?",         # possessive
+        "Is he wearing a t-shirt?",        # hyphen infix
+        "Are there 2 cats?",               # numeric
+        'A sign saying "stop".',           # quote
+        "café au lait",               # non-ascii -> suspicious
+    ]
+    vocab = Vocab(["<unk>", "<pad>", "<start>", "<end>", "the", "sky",
+                   "blue", "?", "Is", "n't"])
+    rep = audit_tokens(texts, vocab=vocab)
+    assert rep["n_texts"] == 6
+    cc = rep["construct_counts"]
+    assert cc["contraction"] == 1 and cc["possessive_or_is"] == 1
+    assert cc["hyphen_infix"] == 1 and cc["numeric"] == 1
+    assert cc["quote"] == 1 and cc["non_ascii"] == 1
+    assert rep["suspicious_token_count"] >= 1  # café
+    assert any("caf" in t for t, _ in rep["suspicious_top"])
+    assert rep["unknown_token_count"] > 0      # most words not in tiny vocab
+    out = format_report(rep)
+    assert "suspicious tokens" in out and "construct coverage" in out
+
+
+def test_token_audit_file_formats(tmp_path):
+    import json
+    from graphvqa_tpu.data.token_audit import audit_file
+
+    raw = {"1": {"question": "Is the wall white?", "fullAnswer": "Yes."}}
+    p1 = tmp_path / "raw.json"
+    p1.write_text(json.dumps(raw))
+    rep = audit_file(p1)
+    assert rep["n_texts"] == 2
+
+    tup = [["img", "Is the wall white?", [], "1", "yes", "Yes, it is.",
+            [], {}, [], [], {}]]
+    p2 = tmp_path / "programs.json"
+    p2.write_text(json.dumps(tup))
+    rep = audit_file(p2)
+    assert rep["n_texts"] == 2
