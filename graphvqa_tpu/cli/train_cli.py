@@ -46,6 +46,12 @@ def get_args_parser():
                         "DataLoader's -j, mainExplain_gat.py:201-209); 0 = "
                         "in-process. At TPU step rates a single host thread "
                         "cannot keep a 512-question pipeline full")
+    p.add_argument("--size-bucket", default=16, type=int, metavar="W",
+                   help="training batches are cut from windows of W*batch "
+                        "shuffled samples locally sorted by scene size, so "
+                        "one big graph bumps few batches to a larger static "
+                        "shape instead of most of them (data/dataset.py "
+                        "size bucketing); 0 disables")
     p.add_argument("--print-freq", default=100, type=int)
     p.add_argument("--resume", default="", help="checkpoint dir to resume from")
     p.add_argument("--evaluate", action="store_true")
@@ -98,6 +104,15 @@ def get_args_parser():
                         "many devices (parallel/edge_sharded.py). Requires "
                         "the dense layout and nodes-per-graph divisible by "
                         "it; total devices = data-parallel x edge-parallel")
+    p.add_argument("--steps-per-dispatch", default=1, type=int, metavar="K",
+                   help="run K optimizer steps per device dispatch (one "
+                        "lax.scan over K stacked batches): amortizes "
+                        "per-step host dispatch latency; semantically K "
+                        "single steps. Single-device path only")
+    p.add_argument("--rounds", default=None, type=int,
+                   help="engine message-passing rounds (default: the model "
+                        "config's, 5 — the reference hardcodes 5, "
+                        "pipeline_model_gat.py:683-687)")
     p.add_argument("--use-execution-engine", action="store_true")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of a few steps of the "
@@ -202,8 +217,11 @@ def main(args):
     out_dir = pathlib.Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if jax.process_index() == 0:
+        # force=True: jax/absl may have already attached root handlers, and
+        # basicConfig silently no-ops then (no log file would appear)
         logging.basicConfig(
-            filename=out_dir / f"log-{args.model}.txt", level=logging.INFO)
+            filename=out_dir / f"log-{args.model}.txt", level=logging.INFO,
+            force=True)
         # run provenance header (mainExplain_gat.py:147-150)
         from graphvqa_tpu.train.logging_utils import get_sha
         stamp = f"git: {get_sha()}"
@@ -240,6 +258,11 @@ def main(args):
         use_execution_engine=args.use_execution_engine,
         **({"dtype": args.dtype} if args.dtype else {}),
     )
+    if args.rounds:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            engine=dataclasses.replace(model_cfg.engine,
+                                       num_rounds=args.rounds))
     if args.tiny:
         model_cfg = dataclasses.replace(
             model_cfg,
@@ -398,7 +421,8 @@ def main(args):
             it = train_ds.iter_batches(cfg.batch, shuffle=True,
                                        seed=args.seed + epoch, drop_last=True,
                                        shard_index=proc, num_shards=nproc,
-                                       num_workers=args.workers)
+                                       num_workers=args.workers,
+                                       size_bucket_windows=args.size_bucket)
             group, metas = [], []
             for m, b in it:
                 group.append(b)
@@ -418,6 +442,33 @@ def main(args):
         batches_fn = dp_batches
         steps_per_epoch = len(train_ds) // nproc // (args.batch_size
                                                      * args.data_parallel)
+    elif args.steps_per_dispatch > 1:
+        K = args.steps_per_dispatch
+        train_step = make_train_step(model, cfg, steps_per_dispatch=K)
+        from graphvqa_tpu.parallel import align_dense_group, stack_shards
+
+        def batches_fn(epoch):
+            it = train_ds.iter_batches(
+                cfg.batch, shuffle=True, seed=args.seed + epoch,
+                drop_last=True, shard_index=proc, num_shards=nproc,
+                num_workers=args.workers,
+                size_bucket_windows=args.size_bucket)
+            group, metas = [], []
+            for m, b in it:
+                group.append(b)
+                metas.append(m)
+                if len(group) == K:
+                    merged = {
+                        k: [x for m2 in metas for x in m2[k]]
+                        for k in metas[0] if isinstance(metas[0][k], list)}
+                    merged["real_count"] = sum(
+                        m2["real_count"] for m2 in metas)
+                    group = align_dense_group(group)
+                    stacked = stack_shards(
+                        [jax.tree.map(jnp.asarray, g) for g in group])
+                    yield merged, stacked
+                    group, metas = [], []
+        steps_per_epoch = len(train_ds) // nproc // (args.batch_size * K)
     else:
         train_step = make_train_step(model, cfg)
 
@@ -426,7 +477,8 @@ def main(args):
                     for m, b in train_ds.iter_batches(
                         cfg.batch, shuffle=True, seed=args.seed + epoch,
                         drop_last=True, shard_index=proc, num_shards=nproc,
-                        num_workers=args.workers))
+                        num_workers=args.workers,
+                        size_bucket_windows=args.size_bucket))
         steps_per_epoch = len(train_ds) // nproc // args.batch_size
 
     for epoch in range(start_epoch, args.epochs):

@@ -51,6 +51,7 @@ class GQADataset:
         self.max_steps = max_steps
         self.ans2label, self.label2ans = load_answer_maps()
         self._graph_cache: Dict[str, GraphSample] = {}
+        self._sizes = None
         self._pool = None
         self._pool_size = 0
 
@@ -109,6 +110,18 @@ class GQADataset:
             "types": types,
         }
 
+    def graph_size(self, index: int) -> int:
+        """Node count of the sample's scene, without building the graph
+        (object-dict length; dummy scenes count 2)."""
+        if self._sizes is None:
+            sizes = {}
+            if self.sg_data:
+                for iid, sg in self.sg_data.items():
+                    sizes[iid] = len(sg.get("objects", {})) or 2
+            self._sizes = np.asarray(
+                [sizes.get(str(d[0]), 2) for d in self.data], np.int32)
+        return int(self._sizes[index])
+
     def iter_batches(
         self,
         batch_cfg: BatchConfig,
@@ -118,12 +131,22 @@ class GQADataset:
         shard_index: int = 0,
         num_shards: int = 1,
         num_workers: int = 0,
+        size_bucket_windows: int = 0,
     ) -> Iterator[tuple]:
         """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps.
 
         ``shard_index/num_shards`` give per-host input sharding — the
         DistributedSampler replacement (mainExplain_gat.py:197-198): each host
         packs its own slice of the epoch ordering.
+
+        ``size_bucket_windows`` > 0 (shuffled epochs only) locally sorts
+        each window of ``size_bucket_windows * batch_size`` indices by
+        scene size before cutting batches, then shuffles the batch order.
+        One outlier graph in a batch bumps the whole batch to a bigger
+        static shape (collate_qa's dense ladder), so with a heavy-tail size
+        distribution almost every batch would otherwise pay the bumped
+        trace; clustering the tail into few batches keeps the rest on the
+        fast shape. Standard sequence-bucketing, applied to graphs.
 
         ``num_workers`` > 0 collates batches in that many forked worker
         processes (the reference DataLoader's ``--workers``,
@@ -137,17 +160,30 @@ class GQADataset:
         """
         total = len(self)
         order = np.arange(total)
+        rng = np.random.default_rng(seed)
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+            rng.shuffle(order)
         if num_shards > 1:
             order = order[shard_index::num_shards]
         bs = batch_cfg.num_graphs
+        if shuffle and size_bucket_windows > 0:
+            self.graph_size(0)  # materialize the size table
+            win = size_bucket_windows * bs
+            parts = []
+            for start in range(0, len(order), win):
+                w = order[start:start + win]
+                parts.append(w[np.argsort(self._sizes[w], kind="stable")])
+            order = np.concatenate(parts) if parts else order
         chunks = []
         for start in range(0, len(order), bs):
             idx = order[start:start + bs]
             if len(idx) < bs and drop_last:
                 break
             chunks.append(idx)
+        if shuffle and size_bucket_windows > 0 and len(chunks) > 1:
+            # restore stochastic batch order (sizes were sorted within
+            # windows, so without this the epoch ramps small -> large)
+            chunks = [chunks[j] for j in rng.permutation(len(chunks))]
         if num_shards > 1:
             # Equalize the batch count across shards so cross-process
             # collectives (metric synchronize(), dump all-gathers) line up:
@@ -168,8 +204,27 @@ class GQADataset:
                 yield build_batch(self, idx, batch_cfg, self.max_steps)
             return
         pool = self._worker_pool(num_workers)
-        args = [(idx, batch_cfg, self.max_steps) for idx in chunks]
-        for out in pool.imap(_pool_build, args, chunksize=1):
+        # Bounded-lookahead submission (NOT pool.imap): imap eagerly queues
+        # every chunk, so (a) a consumer slower than the workers buffers the
+        # whole epoch's collated batches in RAM, and (b) abandoning the
+        # iterator early (fast-validate, benches) then reusing/terminating
+        # the pool deadlocks on the undrained queue. apply_async with at
+        # most 2*workers in flight keeps memory flat and early break safe.
+        from collections import deque
+        pending: deque = deque()
+        it = iter(chunks)
+        exhausted = False
+        while True:
+            while not exhausted and len(pending) < 2 * num_workers:
+                idx = next(it, None)
+                if idx is None:
+                    exhausted = True
+                    break
+                pending.append(pool.apply_async(
+                    _pool_build, ((idx, batch_cfg, self.max_steps),)))
+            if not pending:
+                return
+            out = pending.popleft().get()
             # fold the worker's layout outcome back into the parent's
             # counters (the workers' own collate_stats die with them)
             layout = out[0].get("layout")

@@ -45,6 +45,7 @@ softmax passes) whose comm volume was independent of shard count.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -54,6 +55,18 @@ from graphvqa_tpu.core.graph import GraphBatch
 
 _NEG_INF = -1e30
 _SOFTMAX_EPS = 1e-16  # torch_geometric.utils.softmax denominator
+
+# P-matrix dimension order for the GAT round (ROOFLINE.md "copy residue"
+# investigation, round 4):
+#   'hij': P [B, H, rows, npg] — the shipping default. Measured on v5e:
+#          engine 37.7 M edges/s, full-model train 59.5 ms / eval 14.2 ms.
+#   'ijh': P [B, rows, npg, H] — the hypothesis that aligning P@v's
+#          contracting-dim order with v's layout kills the relayout copy.
+#          MEASURED LOSER: engine 31.1 M edges/s (-18%), train 60.4 ms,
+#          eval 15.3 ms — the P build pays more for the 'bijh' output order
+#          than P@v saves. Kept selectable for re-measurement on future
+#          compilers: GRAPHVQA_P_LAYOUT=ijh.
+_P_LAYOUT = os.environ.get("GRAPHVQA_P_LAYOUT", "hij")
 
 
 def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
@@ -154,7 +167,11 @@ def dense_aggregate_edges(
         out = out / jnp.maximum(counts, 1.0)
     elif reduce != "sum":
         raise ValueError(f"unknown reduce: {reduce}")
-    return _assemble_dst_rows(graph, out).astype(edge_values.dtype)
+    # cast BEFORE the assembly psum: each destination row lives on exactly
+    # one shard (ownership), so the psum adds only zeros — rounding first is
+    # bitwise identical and halves the collective payload (HLO-audited,
+    # tools/audit_comm.py)
+    return _assemble_dst_rows(graph, out.astype(edge_values.dtype))
 
 
 def _dense_softmax_stats(
@@ -254,8 +271,10 @@ def dense_scatter_matmul(
     out = jnp.einsum("bhij,bjhc->bihc", p.astype(dt), v,
                      preferred_element_type=jnp.float32)  # [B, rows, H, C]
     rows = out.shape[1]
-    out = _assemble_dst_rows(graph, out.reshape(B, rows, H * C))
-    return out.reshape(N, H, C).astype(dt)
+    # dtype cast before the disjoint-row assembly psum: exact, half the bytes
+    out = _assemble_dst_rows(graph,
+                             out.reshape(B, rows, H * C).astype(dt))
+    return out.reshape(N, H, C)
 
 
 def _dense_edge_weight_matrix(
@@ -376,25 +395,52 @@ def dense_gat_aggregate(
             dropout_rng, keep, (B * epg, H)).astype(expd.dtype)
             / keep).reshape(B, epg, H)
 
-    p = _dense_edge_weight_matrix(graph, expd.reshape(B * epg, H), dt,
-                                  oh_dst=ohd, oh_src=ohs)  # [B, H, rows, npg]
-    # normalize P's destination rows (33 MB) instead of the [B, H, rows, C]
+    # normalize P's destination rows (33 MB) instead of the [B, rows, H, C]
     # aggregate (157 MB), folding the concat=False head-mean 1/H in too;
     # the head average itself rides the contraction below (sum over h)
     recip = (1.0 / H) / (denom + _SOFTMAX_EPS)               # [B, rows, H]
-    p = p * recip.transpose(0, 2, 1)[:, :, :, None]
+    w = jnp.where(graph.edge_mask[:, None], expd.reshape(B * epg, H), 0.0)
+    w = w.reshape(B, epg, H).astype(dt)
     v = xw.reshape(B, npg, H, C)
-    out = jnp.einsum("bhij,bjhc->bic", p.astype(dt), v,
-                     preferred_element_type=jnp.float32)     # [B, rows, C]
-    if ins_value is not None:
-        # per-graph value share: P_n applied to a per-graph constant is
-        # rowsum(P_n) times that constant (exact, incl. dropout and the
-        # +eps in recip — the row sums carry both)
-        rowsum = p.sum(axis=3)                               # [B, H, rows]
-        out = out + jnp.einsum("bhi,bhc->bic", rowsum.astype(dt),
-                               ins_value.astype(dt),
-                               preferred_element_type=jnp.float32)
-    out = _assemble_dst_rows(graph, out).astype(dt)          # [N, C]
+    if _P_LAYOUT == "ijh":
+        # P [B, rows, npg, H]: both contractions below see their contracting
+        # dims adjacent and identically ordered — removes the relayout copy
+        # around P@v, but the P build pays more for the 'bijh' output order
+        # than P@v saves (measured loser, see _P_LAYOUT above).
+        # XLA:CPU's DotThunk lacks bf16 x bf16 -> f32 for the small
+        # owned-row shapes this order produces — tests run these dots in
+        # f32 there (TPU, the target, stays bf16).
+        ddt = (jnp.float32 if dt == jnp.bfloat16
+               and jax.default_backend() == "cpu" else dt)
+        ohdw = (ohd[:, :, :, None] * w[:, :, None, :]).astype(ddt)
+        p = jnp.einsum("beih,bej->bijh", ohdw, ohs.astype(ddt),
+                       preferred_element_type=jnp.float32)   # [B,rows,npg,H]
+        p = p * recip[:, :, None, :]
+        out = jnp.einsum("bijh,bjhc->bic", p.astype(ddt), v.astype(ddt),
+                         preferred_element_type=jnp.float32)  # [B, rows, C]
+        if ins_value is not None:
+            rowsum = p.sum(axis=2)                           # [B, rows, H]
+            out = out + jnp.einsum("bih,bhc->bic", rowsum.astype(ddt),
+                                   ins_value.astype(ddt),
+                                   preferred_element_type=jnp.float32)
+    else:
+        p = _dense_edge_weight_matrix(graph, expd.reshape(B * epg, H), dt,
+                                      oh_dst=ohd, oh_src=ohs)  # [B,H,rows,npg]
+        p = p * recip.transpose(0, 2, 1)[:, :, :, None]
+        out = jnp.einsum("bhij,bjhc->bic", p.astype(dt), v,
+                         preferred_element_type=jnp.float32)  # [B, rows, C]
+        if ins_value is not None:
+            # per-graph value share: P_n applied to a per-graph constant is
+            # rowsum(P_n) times that constant (exact, incl. dropout and the
+            # +eps in recip — the row sums carry both)
+            rowsum = p.sum(axis=3)                           # [B, H, rows]
+            out = out + jnp.einsum("bhi,bhc->bic", rowsum.astype(dt),
+                                   ins_value.astype(dt),
+                                   preferred_element_type=jnp.float32)
+    # cast BEFORE the assembly psum: destination rows are shard-disjoint
+    # (ownership), the psum adds only zeros — rounding first is bitwise
+    # identical and halves the collective payload (tools/audit_comm.py)
+    out = _assemble_dst_rows(graph, out.astype(dt))          # [N, C]
 
     alpha_ret = None
     if return_alpha:

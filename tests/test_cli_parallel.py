@@ -45,6 +45,7 @@ def test_cli_dp_times_edge_parallel_trains(tmp_path):
         "--print-freq", "1000", "--epochs", "2", "--lr", "1e-3",
         "--data-parallel", "2", "--edge-parallel", "2",
         "--validate-every", "2", "--fast-validate", "1",
+        "--rounds", "2",   # compile-time lever; same code paths
     ]))
     assert (out / "ckpt").exists()  # trained + checkpointed via the real loop
 

@@ -268,3 +268,80 @@ def test_iter_batches_workers_match_inprocess(tmp_path):
         assert ma["question_ids"] == mb["question_ids"]
         for xa, xb in zip(jax.tree.leaves(ba), jax.tree.leaves(bb)):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def _write_sized_dataset(tmp_path, n_small=190, n_big=10, seed=0):
+    """Scenes: mostly ~8 objects, a tail of 80-object scenes (dense-ladder
+    bumpers at nodes_per_graph=16)."""
+    import json
+    import random
+    rng = random.Random(seed)
+    scenes = {}
+    for i in range(20):
+        n = 80 if i < 2 else 8
+        scenes[f"s{i}"] = {"width": 100, "height": 100, "objects": {
+            str(k): {"name": "dog", "attributes": ["white"],
+                     "relations": [{"object": str((k + 1) % n),
+                                    "name": "near"}],
+                     "x": 1, "y": 1, "w": 5, "h": 5}
+            for k in range(n)}}
+    qs = []
+    qid = 0
+    for _ in range(n_big):
+        sid = f"s{rng.randrange(2)}"           # big scenes
+        qs.append([sid, "Is the dog white?", [], str(qid), "yes",
+                   "Yes.", ["select"], {}, [[0]], [["select"]],
+                   {"structural": "verify", "semantic": "attr",
+                    "detailed": "t"}])
+        qid += 1
+    for _ in range(n_small):
+        sid = f"s{2 + rng.randrange(18)}"      # small scenes
+        qs.append([sid, "Is the dog white?", [], str(qid), "yes",
+                   "Yes.", ["select"], {}, [[0]], [["select"]],
+                   {"structural": "verify", "semantic": "attr",
+                    "detailed": "t"}])
+        qid += 1
+    qp = tmp_path / "q.json"
+    sp = tmp_path / "s.json"
+    qp.write_text(json.dumps(qs))
+    sp.write_text(json.dumps(scenes))
+    return qp, sp
+
+
+def test_size_bucketing_cuts_bumped_batches(tmp_path):
+    """One outlier graph bumps a whole batch to a larger static shape; size
+    bucketing must cluster the tail into few batches while covering every
+    sample exactly once."""
+    from graphvqa_tpu.config import BatchConfig
+    from graphvqa_tpu.data.dataset import GQADataset
+    from graphvqa_tpu.data.vocab import build_text_vocab
+    from graphvqa_tpu.data import build_scene_graph_vocab, tokenize
+
+    qp, sp = _write_sized_dataset(tmp_path)
+    sg_vocab = build_scene_graph_vocab()
+    import json
+    text_vocab = build_text_vocab(json.loads(qp.read_text()), tokenize)
+    ds = GQADataset(qp, sp, text_vocab, sg_vocab)
+    bcfg = BatchConfig(num_graphs=20, layout="dense", nodes_per_graph=16,
+                       edges_per_graph=64, question_len=16, program_len=8,
+                       full_answer_len=8)
+
+    def run(windows):
+        qids, bumped = [], 0
+        for meta, batch in ds.iter_batches(bcfg, shuffle=True, seed=3,
+                                           size_bucket_windows=windows):
+            qids += meta["question_ids"][: meta["real_count"]]
+            if batch.graphs.nodes_per_graph > 16:
+                bumped += 1
+        return qids, bumped
+
+    qids_plain, bumped_plain = run(0)
+    qids_bucketed, bumped_bucketed = run(5)
+    # epoch coverage is identical (same samples exactly once)
+    assert sorted(qids_plain) == sorted(qids_bucketed)
+    assert len(set(qids_bucketed)) == len(ds)
+    # 10 big-scene questions spread over up to 10 batches without bucketing
+    # bump most of them; bucketed they cluster into at most one tail batch
+    # per window (200 samples / window 100 = 2 windows)
+    assert bumped_bucketed <= 2, bumped_bucketed
+    assert bumped_plain > bumped_bucketed

@@ -122,3 +122,37 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_steps_per_dispatch_matches_sequential():
+    """K steps inside one lax.scan dispatch == K single dispatches: same
+    params, same reduced metrics (rng folds on state.step identically)."""
+    cfg, model, state, batch, ds, _ = _setup()
+    rng = jax.random.key(9)
+    K = 3
+    # K distinct batches: perturb labels so the steps genuinely differ
+    batches = [batch.replace(short_answer_label=(
+        batch.short_answer_label + i) % cfg.model.num_answers)
+        for i in range(K)]
+
+    single = make_train_step(model, cfg)
+    s_seq = state
+    losses = []
+    counts = 0
+    for b in batches:
+        s_seq, m = single(s_seq, b, rng)
+        losses.append(float(m["total"]))
+        counts += int(m["short_answer_total"])
+
+    multi = make_train_step(model, cfg, steps_per_dispatch=K)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+    s_multi, ms = multi(state, stacked, rng)
+
+    assert int(s_multi.step) == int(s_seq.step)
+    np.testing.assert_allclose(float(ms["total"]), np.mean(losses),
+                               rtol=1e-5)
+    assert int(ms["short_answer_total"]) == counts
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -26,6 +26,29 @@ Communication per round (destination-ownership scheme):
 psum cost modeled at 2(k-1)/k * bytes / 45 GB/s (one v5e ICI link, no
 overlap credit — both pessimistic).
 
+## Overlap (verified dependence structure, r4)
+
+Round r's assembly psum produces conv_out_r; round r+1's NODE projections
+(lin_l/lin_r on h_{r+1} = BN(ReLU(conv_out_r + h_r))) consume it, so they
+CANNOT overlap the psum. What CAN overlap: the per-round instruction
+projections (ins_e/ins_n), the one-hot incidence builds (index-only), and
+attention-dropout mask generation — all node-state-independent; the big
+round-invariant edge-attention projection is hoisted BEFORE round 0
+entirely (nn/gnn.py GATSeq: alpha_e_all) so it is not available per round.
+The overlappable per-round work is small relative to t_comm at big-graph
+shapes, so the model takes NO overlap credit (XLA's async collective
+scheduling may still hide part of it — upside, not assumed).
+
+## Cross-check against the compiled program (r4)
+
+`tools/audit_comm.py` compiles the real dp-edge train step and audits the
+HLO collective inventory: exactly `rounds` fwd assembly psums + `rounds`
+bwd cotangent psums at the modeled [B, npg, C] engine-dtype payload, no
+k-independent (npg²-sized, r2-scheme) collectives. The assembly psum is
+now cast to the engine dtype BEFORE the collective (bitwise-exact for
+ownership-disjoint rows) — the audit caught the f32 psum that doubled the
+modeled volume.
+
 The r2 scheme this replaces psummed the [B, H, npg, npg] edge-weight
 matrices: volume O(H*npg^2) per graph, independent of k, and its P@v ran
 replicated. The new scheme's collectives are O(npg*C) per graph and P@v
