@@ -41,11 +41,14 @@ def get_args_parser():
     p.add_argument("--lr-drop", default=90, type=int)
     p.add_argument("--wd", "--weight-decay", default=0.0, type=float,
                    dest="weight_decay")
-    p.add_argument("-j", "--workers", default=4, type=int,
+    p.add_argument("-j", "--workers", default=0, type=int,
                    help="batch-collate worker processes (the reference "
-                        "DataLoader's -j, mainExplain_gat.py:201-209); 0 = "
-                        "in-process. At TPU step rates a single host thread "
-                        "cannot keep a 512-question pipeline full")
+                        "DataLoader's -j, mainExplain_gat.py:201-209); "
+                        "0 (default) = in-process, which sustains ~26k "
+                        "QA/s (3x the device step) after the dataset "
+                        "prewarm fills the text-id/graph caches "
+                        "(tools/bench_input_pipeline.py); raise only if "
+                        "collate measurably outweighs the step")
     p.add_argument("--size-bucket", default=16, type=int, metavar="W",
                    help="training batches are cut from windows of W*batch "
                         "shuffled samples locally sorted by scene size, so "
@@ -375,6 +378,13 @@ def main(args):
 
     train_ds = GQADataset(programs_path(args.split), scenes_path(args.split),
                           text_vocab, sg_vocab)
+    # one linear pass fills the text-id + graph caches BEFORE the worker
+    # pool forks, so every worker inherits them warm (fork = zero-copy)
+    import time as _time
+    t0 = _time.perf_counter()
+    train_ds.prewarm()
+    print(f"dataset prewarm: {len(train_ds)} rows in "
+          f"{_time.perf_counter() - t0:.1f}s")
 
     from graphvqa_tpu.data.prefetch import prefetch
     if args.data_parallel > 1 or args.edge_parallel > 1:

@@ -51,9 +51,9 @@ class GQADataset:
         self.max_steps = max_steps
         self.ans2label, self.label2ans = load_answer_maps()
         self._graph_cache: Dict[str, GraphSample] = {}
+        self._text_cache: Dict[int, tuple] = {}
         self._sizes = None
-        self._pool = None
-        self._pool_size = 0
+        self._pools: Dict[int, object] = {}
 
     def __len__(self) -> int:
         return len(self.data)
@@ -70,6 +70,34 @@ class GQADataset:
             self._graph_cache[image_id] = g
         return g
 
+    def _text_for(self, index: int) -> tuple:
+        """(question_ids, per-instruction id lists, full_answer_ids) —
+        tokenize + vocab lookup are static per row, so they cache across
+        epochs (measured ~70% of the steady-state collate cost)."""
+        cached = self._text_cache.get(index)
+        if cached is not None:
+            return cached
+        datum = self.data[index]
+        look = self.text_vocab.lookup
+        q_ids = [look(t) for t in tokenize(datum[1])]
+        programs = list(datum[9][: self.max_steps])
+        programs += [[]] * (self.max_steps - len(programs))
+        prog_ids = [[look(t) for t in instr] for instr in programs]
+        fa_ids = [look(t) for t in tokenize(datum[5])]
+        out = (q_ids, prog_ids, fa_ids)
+        self._text_cache[index] = out
+        return out
+
+    def prewarm(self) -> None:
+        """Materialize the text-id and graph caches up front (so forked
+        collate workers inherit them warm, and epoch 0 pays no cache-miss
+        tax). One-time linear pass; idempotent."""
+        for i in range(len(self)):
+            self._text_for(i)
+        if self.sg_data:
+            for iid in self.sg_data:
+                self._graph_for(str(iid))
+
     def __getitem__(self, index: int) -> dict:
         datum = self.data[index]
         # 11-field tuple layout (gqa_dataset_entry.py:479-491)
@@ -79,7 +107,6 @@ class GQADataset:
         short_answer = datum[4]
         full_answer_text = datum[5]
         execution_buffer = datum[8]
-        programs_hierarchical = datum[9]
         types = datum[10]
 
         # OOD quick-fix replicated (gqa_dataset_entry.py:500-505)
@@ -91,20 +118,19 @@ class GQADataset:
         bitmap = build_execution_bitmap(
             graph.num_nodes, execution_buffer, self.max_steps)
 
-        programs = list(programs_hierarchical[: self.max_steps])
-        programs += [[]] * (self.max_steps - len(programs))
+        q_ids, prog_ids, fa_ids = self._text_for(index)
 
         return {
             "question_id": question_id,
             "image_id": image_id,
-            "question_tokens": tokenize(question_text),
+            "question_ids": q_ids,
             "question_text": question_text,
             "graph": GraphSample(
                 node_tokens=graph.node_tokens, edge_src=graph.edge_src,
                 edge_dst=graph.edge_dst, edge_tokens=graph.edge_tokens,
                 edge_sym=graph.edge_sym, exec_bitmap=bitmap),
-            "programs": programs,  # list of max_steps token lists
-            "full_answer_tokens": tokenize(full_answer_text),
+            "program_ids": prog_ids,  # list of max_steps id lists
+            "full_answer_ids": fa_ids,
             "short_answer_label": label,
             "short_answer": short_answer,
             "types": types,
@@ -167,6 +193,13 @@ class GQADataset:
             order = order[shard_index::num_shards]
         bs = batch_cfg.num_graphs
         if shuffle and size_bucket_windows > 0:
+            if drop_last and len(order) >= bs:
+                # trim the drop_last remainder from the SHUFFLED order
+                # BEFORE sorting: otherwise the remainder is always the
+                # current window's largest graphs — a biased, epoch-stable
+                # exclusion (small fixtures would never train their biggest
+                # scenes)
+                order = order[: len(order) // bs * bs]
             self.graph_size(0)  # materialize the size table
             win = size_bucket_windows * bs
             parts = []
@@ -207,47 +240,57 @@ class GQADataset:
         # Bounded-lookahead submission (NOT pool.imap): imap eagerly queues
         # every chunk, so (a) a consumer slower than the workers buffers the
         # whole epoch's collated batches in RAM, and (b) abandoning the
-        # iterator early (fast-validate, benches) then reusing/terminating
-        # the pool deadlocks on the undrained queue. apply_async with at
-        # most 2*workers in flight keeps memory flat and early break safe.
+        # iterator early (fast-validate, benches) leaves the pool's queues
+        # full. apply_async with at most 2*workers in flight keeps memory
+        # flat; the finally-drain leaves the (shared, never-terminated)
+        # pool quiescent even when the caller breaks early.
         from collections import deque
         pending: deque = deque()
         it = iter(chunks)
         exhausted = False
-        while True:
-            while not exhausted and len(pending) < 2 * num_workers:
-                idx = next(it, None)
-                if idx is None:
-                    exhausted = True
-                    break
-                pending.append(pool.apply_async(
-                    _pool_build, ((idx, batch_cfg, self.max_steps),)))
-            if not pending:
-                return
-            out = pending.popleft().get()
-            # fold the worker's layout outcome back into the parent's
-            # counters (the workers' own collate_stats die with them)
-            layout = out[0].get("layout")
-            if layout in collate_stats:
-                collate_stats[layout] += 1
-            yield out
+        try:
+            while True:
+                while not exhausted and len(pending) < 2 * num_workers:
+                    idx = next(it, None)
+                    if idx is None:
+                        exhausted = True
+                        break
+                    pending.append(pool.apply_async(
+                        _pool_build, ((idx, batch_cfg, self.max_steps),)))
+                if not pending:
+                    return
+                out = pending.popleft().get()
+                # fold the worker's layout outcome back into the parent's
+                # counters (the workers' own collate_stats die with them)
+                layout = out[0].get("layout")
+                if layout in collate_stats:
+                    collate_stats[layout] += 1
+                yield out
+        finally:
+            for r in pending:
+                try:
+                    r.wait(timeout=60)
+                except Exception:
+                    pass
 
     def _worker_pool(self, num_workers: int):
-        """Persistent fork pool, created once and reused across epochs (a
-        per-epoch pool pays fork + cold per-worker graph caches every
-        epoch). The dataset is inherited by fork via a module global —
-        zero pickling."""
-        if self._pool is not None and self._pool_size == num_workers:
-            return self._pool
-        if self._pool is not None:
-            self._pool.terminate()
+        """Persistent fork pools, one per requested size, reused across
+        epochs (a per-epoch pool pays fork + cold per-worker graph caches
+        every epoch). The dataset is inherited by fork via a module global —
+        zero pickling. Pools are NEVER terminated mid-process:
+        ``Pool.terminate()`` with in-flight tasks (e.g. from an abandoned
+        fast-validate iterator) deadlocks joining its handler threads; idle
+        forked workers cost almost nothing."""
+        pool = self._pools.get(num_workers)
+        if pool is not None:
+            return pool
         import multiprocessing as mp
         global _WORKER_DS
         _WORKER_DS = self
         ctx = mp.get_context("fork")
-        self._pool = ctx.Pool(num_workers)
-        self._pool_size = num_workers
-        return self._pool
+        pool = ctx.Pool(num_workers)
+        self._pools[num_workers] = pool
+        return pool
 
 
 _WORKER_DS: Optional["GQADataset"] = None
@@ -370,14 +413,27 @@ def collate_qa(
             edges_pad=batch_cfg.edges_pad,
             max_steps=max_steps,
         )
+    def _enc(it, ids_key, tok_key, length):
+        # dataset rows carry cached ids; hand-built items (tests) may carry
+        # raw token strings instead
+        if ids_key in it:
+            return text_vocab.encode_ids(it[ids_key], length)
+        return text_vocab.encode(it[tok_key], length)
+
     questions = np.stack([
-        text_vocab.encode(it["question_tokens"], batch_cfg.question_len)
+        _enc(it, "question_ids", "question_tokens", batch_cfg.question_len)
         for it in items])
-    programs = np.stack([
-        text_vocab.encode(instr, batch_cfg.program_len)
-        for it in items for instr in it["programs"]])
+    if "program_ids" in items[0]:
+        programs = np.stack([
+            text_vocab.encode_ids(instr, batch_cfg.program_len)
+            for it in items for instr in it["program_ids"]])
+    else:
+        programs = np.stack([
+            text_vocab.encode(instr, batch_cfg.program_len)
+            for it in items for instr in it["programs"]])
     full_answers = np.stack([
-        text_vocab.encode(it["full_answer_tokens"], batch_cfg.full_answer_len)
+        _enc(it, "full_answer_ids", "full_answer_tokens",
+             batch_cfg.full_answer_len)
         for it in items])
     labels = np.asarray([it["short_answer_label"] for it in items], np.int32)
 

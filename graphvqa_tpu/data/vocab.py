@@ -41,7 +41,14 @@ class Vocab:
     def encode(self, tokens: Sequence[str], length: int,
                add_sos_eos: bool = True) -> np.ndarray:
         """Numericalize + pad to a static length (torchtext Field.process)."""
-        ids = [self.lookup(t) for t in tokens]
+        return self.encode_ids([self.lookup(t) for t in tokens], length,
+                               add_sos_eos)
+
+    def encode_ids(self, ids: Sequence[int], length: int,
+                   add_sos_eos: bool = True) -> np.ndarray:
+        """Pad pre-numericalized ids to a static length (the lookup half of
+        :meth:`encode` is cacheable per dataset row — data/dataset.py)."""
+        ids = list(ids)
         if add_sos_eos:
             ids = [SOS] + ids + [EOS]
         ids = ids[:length]

@@ -66,6 +66,9 @@ _SOFTMAX_EPS = 1e-16  # torch_geometric.utils.softmax denominator
 #          eval 15.3 ms — the P build pays more for the 'bijh' output order
 #          than P@v saves. Kept selectable for re-measurement on future
 #          compilers: GRAPHVQA_P_LAYOUT=ijh.
+#   'hij_t': fast 'hij' P build + an EXPLICIT [B,rows,npg,H] transpose of P
+#          (33 MB) so P@v reads v natively — trades the compiler's 78 MB v
+#          relayout for a 2.4x smaller one we control.
 _P_LAYOUT = os.environ.get("GRAPHVQA_P_LAYOUT", "hij")
 
 
@@ -421,6 +424,20 @@ def dense_gat_aggregate(
         if ins_value is not None:
             rowsum = p.sum(axis=2)                           # [B, rows, H]
             out = out + jnp.einsum("bih,bhc->bic", rowsum.astype(ddt),
+                                   ins_value.astype(ddt),
+                                   preferred_element_type=jnp.float32)
+    elif _P_LAYOUT == "hij_t":
+        p = _dense_edge_weight_matrix(graph, expd.reshape(B * epg, H), dt,
+                                      oh_dst=ohd, oh_src=ohs)  # [B,H,rows,npg]
+        p = p * recip.transpose(0, 2, 1)[:, :, :, None]
+        ddt = (jnp.float32 if dt == jnp.bfloat16
+               and jax.default_backend() == "cpu" else dt)
+        pt = p.astype(ddt).transpose(0, 2, 3, 1)         # [B, rows, npg, H]
+        out = jnp.einsum("bijh,bjhc->bic", pt, v.astype(ddt),
+                         preferred_element_type=jnp.float32)  # [B, rows, C]
+        if ins_value is not None:
+            rowsum = p.sum(axis=3)                           # [B, H, rows]
+            out = out + jnp.einsum("bhi,bhc->bic", rowsum.astype(ddt),
                                    ins_value.astype(ddt),
                                    preferred_element_type=jnp.float32)
     else:

@@ -56,8 +56,8 @@ def test_dataset_items_and_bitmap():
     assert len(ds) == 7
     it = ds[0]  # What is on the white wall?
     assert it["short_answer"] == "pipe"
-    assert len(it["programs"]) == 5          # padded to MAX_EXECUTION_STEP
-    assert it["programs"][4] == []
+    assert len(it["program_ids"]) == 5       # padded to MAX_EXECUTION_STEP
+    assert it["program_ids"][4] == []
     g = it["graph"]
     assert g.num_nodes == 21
     # execution bitmap: step 0 selects the wall; padding steps copy last column
@@ -345,3 +345,18 @@ def test_size_bucketing_cuts_bumped_batches(tmp_path):
     # per window (200 samples / window 100 = 2 windows)
     assert bumped_bucketed <= 2, bumped_bucketed
     assert bumped_plain > bumped_bucketed
+
+    # drop_last + bucketing must drop an UNBIASED (seed-varying) remainder,
+    # not the sorted tail: over a few epochs every sample must appear
+    # (the golden-overfit regression: the biggest scenes never trained)
+    bcfg3 = BatchConfig(num_graphs=30, layout="dense", nodes_per_graph=16,
+                        edges_per_graph=64, question_len=16, program_len=8,
+                        full_answer_len=8)
+    seen = set()
+    for ep in range(6):
+        for meta, batch in ds.iter_batches(bcfg3, shuffle=True, seed=ep,
+                                           drop_last=True,
+                                           size_bucket_windows=3):
+            assert meta["real_count"] == 30  # all batches full
+            seen.update(meta["question_ids"])
+    assert len(seen) == len(ds), (len(seen), len(ds))

@@ -51,6 +51,9 @@ def main():
                        question_len=32, program_len=16, full_answer_len=20)
     print(f"{len(ds)} questions, batch {args.batch_size} "
           f"(npg=64 epg=256 dense)")
+    t0 = time.perf_counter()
+    ds.prewarm()   # fills text-id + graph caches; workers fork them warm
+    print(f"prewarm: {time.perf_counter() - t0:.1f}s", flush=True)
 
     device_rate = 8478.0  # QA pairs/s, tools/bench_full_model.py on v5e
     for nw in args.workers:
