@@ -68,7 +68,9 @@ _SOFTMAX_EPS = 1e-16  # torch_geometric.utils.softmax denominator
 #          compilers: GRAPHVQA_P_LAYOUT=ijh.
 #   'hij_t': fast 'hij' P build + an EXPLICIT [B,rows,npg,H] transpose of P
 #          (33 MB) so P@v reads v natively — trades the compiler's 78 MB v
-#          relayout for a 2.4x smaller one we control.
+#          relayout for a 2.4x smaller one we control. MEASURED LOSER:
+#          34.4 M edges/s (-9%) — the explicit transpose materializes where
+#          the compiler's relayout partially fuses.
 _P_LAYOUT = os.environ.get("GRAPHVQA_P_LAYOUT", "hij")
 
 
