@@ -51,9 +51,14 @@ def get_args_parser():
                    help="where to write the imported text_vocab.json "
                         "(default: the parent of --out, i.e. the trainer's "
                         "output_dir, which is where the trainer looks)")
+    p.add_argument("--model", default="gat",
+                   choices=["gat", "gcn", "gine", "lcgn", "onlysg"],
+                   help="which reference model family the checkpoint is "
+                        "(mainExplain_gat/_gcn/_gine/_lcgn drivers)")
     p.add_argument("--num-encoder-layers", type=int, default=3)
     p.add_argument("--num-decoder-layers", type=int, default=3)
     p.add_argument("--num-rounds", type=int, default=5)
+    p.add_argument("--lcgn-iters", type=int, default=4)
     p.add_argument("--epoch", type=int, default=None,
                    help="schedule position to record (defaults to the "
                         "checkpoint's saved epoch, else 0)")
@@ -85,7 +90,7 @@ def main(args):
 
     import torch
 
-    from graphvqa_tpu.models.torch_convert import convert_pipeline_gat, to_jax
+    from graphvqa_tpu.models.torch_convert import convert_pipeline, to_jax
     from graphvqa_tpu.train.checkpoint import save_checkpoint
     from graphvqa_tpu.train.train_state import create_train_state
 
@@ -97,10 +102,10 @@ def main(args):
           v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd_t.items()}
 
-    variables = to_jax(convert_pipeline_gat(
-        sd, num_encoder_layers=args.num_encoder_layers,
+    variables = to_jax(convert_pipeline(
+        sd, kind=args.model, num_encoder_layers=args.num_encoder_layers,
         num_decoder_layers=args.num_decoder_layers,
-        num_rounds=args.num_rounds))
+        num_rounds=args.num_rounds, lcgn_iters=args.lcgn_iters))
     n = sum(int(np.size(x)) for x in
             __import__("jax").tree.leaves(variables["params"]))
     print(f"converted {len(sd)} torch tensors -> {n/1e6:.1f}M params")

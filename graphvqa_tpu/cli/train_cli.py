@@ -117,6 +117,10 @@ def get_args_parser():
                         "config's, 5 — the reference hardcodes 5, "
                         "pipeline_model_gat.py:683-687)")
     p.add_argument("--use-execution-engine", action="store_true")
+    p.add_argument("--compile-cache", default="", metavar="DIR",
+                   help="persistent XLA compilation cache directory: repeat "
+                        "runs skip the multi-minute first-epoch compiles "
+                        "(jax_compilation_cache_dir; effective on TPU)")
     p.add_argument("--profile-dir", default="",
                    help="capture a jax.profiler trace of a few steps of the "
                         "first epoch into this directory (TensorBoard/XProf)")
@@ -198,6 +202,9 @@ def main(args):
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_prng_impl", args.prng)
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from graphvqa_tpu.config import (BatchConfig, CONFIG_FACTORY, Config,
                                      TrainConfig)

@@ -145,26 +145,129 @@ def _seq2(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
             "lin2": convert_linear(sd, f"{prefix}.2")}
 
 
-def convert_pipeline_gat(
+def convert_gat_engine(sd: Mapping[str, np.ndarray], num_rounds: int):
+    """``gat_seq`` (gat_skip.py:220-236) -> GATSeq params/batch_stats."""
+    engine: Params = {}
+    stats: Params = {}
+    for i in range(num_rounds):
+        engine[f"conv_{i}"] = convert_gat_layer(sd, f"gat_seq.convs.{i}")
+    for i in range(num_rounds - 1):
+        bn_p, bn_s = convert_batchnorm1d(sd, f"gat_seq.bns.{i}")
+        engine[f"bn_{i}"] = bn_p
+        stats[f"bn_{i}"] = bn_s
+    return engine, stats
+
+
+def convert_gcn_engine(sd: Mapping[str, np.ndarray], num_rounds: int):
+    """``gcn_seq`` (pipeline_model_gcn.py:622-669) -> GCNSeq params.
+
+    Handles both PyG parameter layouts: 1.x ``convs.i.weight`` ([in, out])
+    — the era the reference pins — and >=2.0 ``convs.i.lin.weight``
+    ([out, in], transposed here).
+    """
+    engine: Params = {}
+    stats: Params = {}
+    for i in range(num_rounds):
+        base = f"gcn_seq.convs.{i}"
+        if f"{base}.weight" in sd:
+            kernel = np.ascontiguousarray(sd[f"{base}.weight"])
+        else:
+            kernel = np.ascontiguousarray(sd[f"{base}.lin.weight"].T)
+        engine[f"conv_{i}_weight"] = {"kernel": kernel}
+        engine[f"conv_{i}_bias"] = sd[f"{base}.bias"]
+    for i in range(num_rounds - 1):
+        bn_p, bn_s = convert_batchnorm1d(sd, f"gcn_seq.bns.{i}")
+        engine[f"bn_{i}"] = bn_p
+        stats[f"bn_{i}"] = bn_s
+    return engine, stats
+
+
+def convert_gine_engine(sd: Mapping[str, np.ndarray], num_rounds: int):
+    """``gine_seq`` (pipeline_model_gine.py:622-674) -> GINESeq params.
+
+    The GINEConv ``nn`` is ``Seq(Lin, ReLU, Lin)``; a trained (nonzero)
+    ``eps`` has no counterpart here (GINESeq implements the reference's
+    default eps=0) and raises rather than silently dropping it.
+    """
+    engine: Params = {}
+    stats: Params = {}
+    for i in range(num_rounds):
+        base = f"gine_seq.convs.{i}"
+        eps = sd.get(f"{base}.eps")
+        if eps is not None and np.any(np.asarray(eps) != 0):
+            raise ValueError(
+                f"{base}.eps is nonzero ({eps}); GINESeq implements the "
+                f"reference default train_eps=False/eps=0 only")
+        engine[f"conv_{i}_mlp"] = {
+            "lin1": convert_linear(sd, f"{base}.nn.0"),
+            "lin2": convert_linear(sd, f"{base}.nn.2"),
+        }
+    for i in range(num_rounds - 1):
+        bn_p, bn_s = convert_batchnorm1d(sd, f"gine_seq.bns.{i}")
+        engine[f"bn_{i}"] = bn_p
+        stats[f"bn_{i}"] = bn_s
+    return engine, stats
+
+
+def convert_lcgn_engine(sd: Mapping[str, np.ndarray], num_iters: int = 4):
+    """``lcgn_seq`` + ``gat_lcgn`` (lcgn.py:17-244,251-323) -> LCGNSeq.
+
+    The reference builds ``bns`` that its forward never uses
+    (lcgn.py:284) — dead parameters, skipped by design. ``init_sg_emb_input``
+    / ``proj_x_loc`` / ``proj_x_ctx`` are Sequential wrappers whose Linear
+    sits at index 0 / 1 / 1 respectively.
+    """
+    eng: Params = {
+        "init_sg_emb": convert_linear(sd, "lcgn_seq.init_sg_emb_input.0"),
+        "q_input1": convert_linear(sd, "lcgn_seq.qInput1"),
+        "cmd_inter2logits": convert_linear(sd, "lcgn_seq.cmd_inter2logits"),
+        "proj_x_loc": convert_linear(sd, "lcgn_seq.proj_x_loc.1"),
+        "proj_x_ctx": convert_linear(sd, "lcgn_seq.proj_x_ctx.1"),
+        "output_layer": convert_linear(sd, "lcgn_seq.output_layer"),
+        "fin_layer": convert_linear(sd, "lcgn_seq.fin_layer"),
+    }
+    for t in range(num_iters):
+        eng[f"q_input2_{t}"] = convert_linear(sd, f"lcgn_seq.qInput2_{t}")
+    cell: Params = {}
+    for name in ("lin_l", "lin_r", "cal_x", "proj_cmd", "cal_cmd"):
+        cell[name] = {"kernel": np.ascontiguousarray(
+            sd[f"lcgn_seq.lcgn.{name}.weight"].T)}
+    cell["bias"] = sd["lcgn_seq.lcgn.bias"]
+    eng["cell"] = cell
+    return eng, {}
+
+
+_ENGINE_CONVERTERS = {
+    "gat": convert_gat_engine,
+    "gcn": convert_gcn_engine,
+    "gine": convert_gine_engine,
+    "onlysg": convert_gat_engine,   # the ablation is a gat-family model
+}
+
+
+def convert_pipeline(
     sd: Mapping[str, np.ndarray],
+    kind: str = "gat",
     num_encoder_layers: int = 3,
     num_decoder_layers: int = 3,
     num_rounds: int = 5,
+    lcgn_iters: int = 4,
 ):
-    """Full reference GraphVQA-GAT checkpoint -> this framework's variables.
+    """Full reference checkpoint of ANY model family -> this framework's
+    variables.
 
     Input: the flattened ``{name: np.ndarray}`` of the reference's
-    ``torch.load(ckpt)["model"]`` (module tree built at
-    pipeline_model_gat.py:615-731). Returns ``{"params": ...,
-    "batch_stats": ...}`` matching ``PipelineModel`` with the GAT engine, so
-    a reference user can evaluate their trained model here directly:
+    ``torch.load(ckpt)["model"]`` (module trees: pipeline_model_gat.py:615-731
+    and the three near-identical variants in baseline_and_test_models/).
+    Returns ``{"params": ..., "batch_stats": ...}`` matching
+    ``PipelineModel`` with the corresponding engine:
 
-        variables = to_jax(convert_pipeline_gat(sd))
+        variables = to_jax(convert_pipeline(sd, kind="gcn"))
         out = PipelineModel(cfg).apply(variables, batch, ...)
 
     The reference's full-answer decoder is converted when present
     (``use_full_answer``); its execution engine is commented out of the
-    released model (pipeline_model_gat.py:668-671) and has no keys to map.
+    released models (pipeline_model_gat.py:668-671) and has no keys to map.
     """
     p: Params = {
         "text_vocab_embedding": {
@@ -215,14 +318,10 @@ def convert_pipeline_gat(
                 sd, "full_answer_decoder.vocab_decoder"),
         }
 
-    engine: Params = {}
-    engine_stats: Params = {}
-    for i in range(num_rounds):
-        engine[f"conv_{i}"] = convert_gat_layer(sd, f"gat_seq.convs.{i}")
-    for i in range(num_rounds - 1):
-        bn_p, bn_s = convert_batchnorm1d(sd, f"gat_seq.bns.{i}")
-        engine[f"bn_{i}"] = bn_p
-        engine_stats[f"bn_{i}"] = bn_s
+    if kind == "lcgn":
+        engine, engine_stats = convert_lcgn_engine(sd, num_iters=lcgn_iters)
+    else:
+        engine, engine_stats = _ENGINE_CONVERTERS[kind](sd, num_rounds)
     p["engine"] = engine
 
     pool_base = "graph_global_attention_pooling"
@@ -237,7 +336,19 @@ def convert_pipeline_gat(
     p["logit_fc_hidden"] = convert_linear(sd, "logit_fc.1")
     p["logit_fc_out"] = convert_linear(sd, "logit_fc.4")
 
-    return {"params": p, "batch_stats": {"engine": engine_stats}}
+    bs = {"engine": engine_stats} if engine_stats else {}
+    return {"params": p, "batch_stats": bs}
+
+
+def convert_pipeline_gat(
+    sd: Mapping[str, np.ndarray],
+    num_encoder_layers: int = 3,
+    num_decoder_layers: int = 3,
+    num_rounds: int = 5,
+):
+    """Back-compat wrapper: :func:`convert_pipeline` with kind='gat'."""
+    return convert_pipeline(sd, "gat", num_encoder_layers,
+                            num_decoder_layers, num_rounds)
 
 
 def to_jax(tree):

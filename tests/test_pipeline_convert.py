@@ -8,6 +8,7 @@ forward pass with the converted weights. Torch is not required: the
 converter consumes plain numpy arrays.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -490,3 +491,137 @@ def test_convert_ckpt_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got.short_answer_logits),
                                np.asarray(want.short_answer_logits),
                                rtol=1e-6, atol=1e-6)
+
+
+# ===================================================================
+# Round 4: checkpoint conversion for the OTHER reference model families
+# (gcn/gine/lcgn — eval_result/gcn_new, gine_NEW, lcgn_instr all have
+# published checkpointed runs). Same structural bar as the GAT test:
+# fabricated reference-named state_dict -> exact init-tree match ->
+# converted weights drive a finite forward.
+# ===================================================================
+
+def _engine_state_dict_gcn(sd, rng, cfg, new_pyg=False):
+    C, D, R = cfg.scene.emb_dim, cfg.transformer.hidden_dim, \
+        cfg.engine.num_rounds
+    for i in range(R):
+        if new_pyg:
+            _lin(sd, rng, f"gcn_seq.convs.{i}.lin", C + D, C)
+            del sd[f"gcn_seq.convs.{i}.lin.bias"]
+            sd[f"gcn_seq.convs.{i}.bias"] = _rand(rng, C)
+        else:
+            sd[f"gcn_seq.convs.{i}.weight"] = _rand(rng, C + D, C)
+            sd[f"gcn_seq.convs.{i}.bias"] = _rand(rng, C)
+    for i in range(R - 1):
+        bp = f"gcn_seq.bns.{i}"
+        sd[f"{bp}.weight"] = _rand(rng, C)
+        sd[f"{bp}.bias"] = _rand(rng, C)
+        sd[f"{bp}.running_mean"] = _rand(rng, C)
+        sd[f"{bp}.running_var"] = np.abs(_rand(rng, C)) + 0.5
+
+
+def _engine_state_dict_gine(sd, rng, cfg):
+    C, D, R = cfg.scene.emb_dim, cfg.transformer.hidden_dim, \
+        cfg.engine.num_rounds
+    for i in range(R):
+        base = f"gine_seq.convs.{i}"
+        sd[f"{base}.eps"] = np.asarray(0.0)
+        _lin(sd, rng, f"{base}.nn.0", C + D, C)
+        _lin(sd, rng, f"{base}.nn.2", C, C)
+    for i in range(R - 1):
+        bp = f"gine_seq.bns.{i}"
+        sd[f"{bp}.weight"] = _rand(rng, C)
+        sd[f"{bp}.bias"] = _rand(rng, C)
+        sd[f"{bp}.running_mean"] = _rand(rng, C)
+        sd[f"{bp}.running_var"] = np.abs(_rand(rng, C)) + 0.5
+
+
+def _engine_state_dict_lcgn(sd, rng, cfg):
+    C = cfg.transformer.hidden_dim       # lcgn out_channels = hidden dim
+    D = cfg.transformer.hidden_dim
+    Cin = cfg.scene.emb_dim
+    H = cfg.engine.lcgn_heads
+    _lin(sd, rng, "lcgn_seq.init_sg_emb_input.0", Cin, C)
+    _lin(sd, rng, "lcgn_seq.qInput1", D, C)
+    for t in range(cfg.engine.lcgn_iters):
+        _lin(sd, rng, f"lcgn_seq.qInput2_{t}", C, C)
+    _lin(sd, rng, "lcgn_seq.cmd_inter2logits", C, 1)
+    _lin(sd, rng, "lcgn_seq.proj_x_loc.1", C, C)
+    _lin(sd, rng, "lcgn_seq.proj_x_ctx.1", C, C)
+    _lin(sd, rng, "lcgn_seq.output_layer", 2 * C, C)
+    _lin(sd, rng, "lcgn_seq.fin_layer", 2 * C, C)
+    for name in ("lin_l", "lin_r", "cal_x"):
+        sd[f"lcgn_seq.lcgn.{name}.weight"] = _rand(rng, H * C, 3 * C)
+    for name in ("proj_cmd", "cal_cmd"):
+        sd[f"lcgn_seq.lcgn.{name}.weight"] = _rand(rng, H * C, D)
+    sd["lcgn_seq.lcgn.bias"] = _rand(rng, C)
+    # the reference allocates bns the forward never touches (lcgn.py:284) —
+    # the converter must tolerate their presence
+    for i in range(4):
+        bp = f"lcgn_seq.bns.{i}"
+        sd[f"{bp}.weight"] = _rand(rng, C)
+        sd[f"{bp}.bias"] = _rand(rng, C)
+        sd[f"{bp}.running_mean"] = _rand(rng, C)
+        sd[f"{bp}.running_var"] = np.abs(_rand(rng, C)) + 0.5
+
+
+@pytest.mark.parametrize("kind", ["gcn", "gcn_new_pyg", "gine", "lcgn"])
+def test_variant_checkpoint_converts_to_init_structure(kind):
+    from graphvqa_tpu.models.torch_convert import convert_pipeline
+
+    family = "gcn" if kind.startswith("gcn") else kind
+    cfg = tiny_model_config(family)
+    sd = _reference_state_dict(cfg)
+    # replace the GAT engine keys with this family's
+    for k in [k for k in sd if k.startswith("gat_seq.")]:
+        del sd[k]
+    rng = np.random.default_rng(5)
+    if family == "gcn":
+        _engine_state_dict_gcn(sd, rng, cfg, new_pyg=kind == "gcn_new_pyg")
+    elif family == "gine":
+        _engine_state_dict_gine(sd, rng, cfg)
+    else:
+        _engine_state_dict_lcgn(sd, rng, cfg)
+        # lcgn's engine outputs hidden_dim (not scene emb) -> the pooling
+        # node_nn input widens accordingly (pipeline_model_lcgn.py wiring)
+        D = cfg.transformer.hidden_dim
+        for k in [k for k in sd
+                  if k.startswith("graph_global_attention_pooling.node_nn")]:
+            del sd[k]
+        _seq2(sd, rng, "graph_global_attention_pooling.node_nn", D, D, D)
+
+    converted = to_jax(convert_pipeline(
+        sd, kind=family,
+        num_encoder_layers=cfg.transformer.num_layers,
+        num_decoder_layers=cfg.transformer.num_layers,
+        num_rounds=cfg.engine.num_rounds,
+        lcgn_iters=cfg.engine.lcgn_iters))
+
+    model = PipelineModel(cfg)
+    batch = random_qa_batch(cfg=cfg, dense=True)
+    model_in = batch.replace(programs=batch.programs[:, :-1],
+                             full_answers=batch.full_answers[:, :-1])
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "lcgn_ctx": jax.random.key(2)}
+    init_vars = model.init(rngs, model_in)
+
+    want = _paths({"params": init_vars["params"],
+                   "batch_stats": init_vars.get("batch_stats", {})})
+    got = _paths(converted)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    assert not missing and not extra, (missing, extra)
+    mismatched = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatched, mismatched
+
+    out = model.apply(converted, model_in, sample=False, deterministic=True,
+                      use_running_average=True,
+                      rngs={"lcgn_ctx": jax.random.key(3)})
+    assert np.isfinite(np.asarray(out.short_answer_logits)).all()
+
+
+def test_gine_nonzero_eps_rejected():
+    from graphvqa_tpu.models.torch_convert import convert_gine_engine
+    sd = {"gine_seq.convs.0.eps": np.asarray(0.3)}
+    with pytest.raises(ValueError, match="eps"):
+        convert_gine_engine(sd, num_rounds=1)
