@@ -350,12 +350,17 @@ def validate(
     attentions_out = []
     M = cfg.model.max_execution_steps
 
+    import time
+    eval_t0 = time.perf_counter()
+    total_real = 0
+
     i = -1
     for i, (meta, batch) in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
         vec, prog_tokens, node_att = eval_step(state, batch, rng)
         real = meta.get("real_count", batch.questions.shape[0])
+        total_real += real
         # all metrics count only real (non-replicated) rows: slice the
         # per-row signal vectors on the host
         sa_pred_np = jax.device_get(vec["sa_pred"])[:real]
@@ -445,6 +450,9 @@ def validate(
     # iter_batches equalizes per-shard batch counts.
     _sync_meters(sa, pa, pg, pne, bprec, brec)
     progress.display(i + 1)
+    wall = time.perf_counter() - eval_t0
+    print(f"  eval sustained: {total_real / max(wall, 1e-9):.1f} qa/s "
+          f"({total_real} questions, {wall:.1f}s wall)")
 
     # multi-process validation: every process holds 1/P of the results
     # (per-host input sharding) — gather before the rank-0 dump
