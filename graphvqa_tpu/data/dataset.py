@@ -16,7 +16,7 @@ import numpy as np
 
 from graphvqa_tpu.config import BatchConfig
 from graphvqa_tpu.core.graph import QABatch
-from graphvqa_tpu.core.packing import GraphSample, pack_graphs
+from graphvqa_tpu.core.packing import GraphSample
 from graphvqa_tpu.data.scene_graph import build_execution_bitmap, convert_scene_graph
 from graphvqa_tpu.data.tokenizer import tokenize
 from graphvqa_tpu.data.vocab import Vocab, load_answer_maps

@@ -29,7 +29,10 @@ def main():
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--split", default="train_balanced")
     ap.add_argument("--batch-size", type=int, default=512)
-    ap.add_argument("--workers", type=int, nargs="+", default=[0, 4, 8, 16])
+    ap.add_argument("--workers", type=int, nargs="+", default=[0, 2],
+                    help="settings to sweep; keep <= the machine's cores — "
+                         "worker processes beyond physical cores only add "
+                         "IPC overhead (this dev box has 2 vCPUs)")
     ap.add_argument("--batches", type=int, default=60,
                     help="timed batches per setting (after 5 warmup)")
     ap.add_argument("--size-bucket", type=int, default=16)

@@ -54,8 +54,10 @@ def make_scene(rng: random.Random, names, attrs, rels) -> dict:
         targets = [oids[rng.randrange(n)] for _ in range(n_rel)]
         objects[oid] = {
             "name": rng.choice(names),
+            # >=1 attribute, so attribute-query questions always have a
+            # scene-derivable ground truth
             "attributes": [rng.choice(attrs)
-                           for _ in range(rng.randint(0, 4))],
+                           for _ in range(rng.randint(1, 4))],
             "relations": [{"object": t, "name": rng.choice(rels)}
                           for t in targets if t != oid],
             "x": rng.randrange(0, w - 40), "y": rng.randrange(0, h - 40),
@@ -69,7 +71,12 @@ _SEMANTIC = ["attr", "obj", "rel", "cat", "global"]
 
 
 def make_question(rng: random.Random, qid: int, image_id: str, scene: dict,
-                  answers, attrs, rels):
+                  answers, attrs, rels, names):
+    """Answers are DERIVABLE from the scene graph (not random), so training
+    on this data is a real learning task: existence questions are answered
+    by scene content, attribute queries by the queried object's first
+    attribute — the supervised mapping a scene-graph QA model must learn.
+    Only answers present in the 1842-answer vocabulary are emitted."""
     objects = scene["objects"]
     oids = sorted(objects.keys())
     i0 = rng.randrange(len(oids))
@@ -77,32 +84,49 @@ def make_question(rng: random.Random, qid: int, image_id: str, scene: dict,
     i1 = rng.randrange(len(oids))
     name1 = objects[oids[i1]]["name"]
     rel = rng.choice(rels)
-    attr = rng.choice(attrs)
-    answer = rng.choice(answers)
+    present = {o["name"] for o in objects.values()}
 
-    # three template families with GQA-ish lengths and program depths
     kind = rng.randrange(3)
     if kind == 0:
-        question = f"What color is the {name0}?"
+        # attribute query: ground truth = the object's first attribute
+        question = f"What is the {name0} like?"
+        answer = objects[oids[i0]]["attributes"][0]
         full = f"The {name0} is {answer}."
-        instrs = [f"select ( {name0} )", "query ( [0], color )"]
+        instrs = [f"select ( {name0} )", "query ( [0], attribute )"]
         buffer = [[i0], [i0]]
     elif kind == 1:
-        question = f"Is there a {name1} {rel} the {name0}?"
-        full = f"Yes, there is a {name1} {rel} the {name0}."
-        instrs = [f"select ( {name0} )",
-                  f"relate_inv_name ( [0], {rel}, {name1} )",
-                  "exist ( [1] )"]
-        buffer = [[i0], [i1], [i1]]
+        # existence: half present, half absent (drawn from the name vocab)
+        if rng.random() < 0.5:
+            probe = name1
+            answer = "yes"
+        else:
+            probe = rng.choice(names)
+            while probe in present:
+                probe = rng.choice(names)
+            answer = "no"
+        question = f"Is there a {probe} in the picture?"
+        full = f"{answer.capitalize()}, there is " + \
+            ("a " if answer == "yes" else "no ") + f"{probe}."
+        instrs = [f"select ( {probe} )", "exist ( [0] )"]
+        buffer = [[i1], [i1]] if answer == "yes" else [[], []]
     else:
-        question = (f"Does the {name0} that is {rel} the {name1} "
-                    f"look {attr}?")
-        full = f"No, the {name0} does not look {attr}."
-        instrs = [f"select ( {name1} )",
-                  f"relate_name ( [0], {rel}, {name0} )",
-                  f"verify_{rng.choice(['color', 'material', 'shape'])} "
-                  f"( [1], {attr} )"]
-        buffer = [[i1], [i0], [i0]]
+        # verify-attribute: half true, half false
+        true_attr = objects[oids[i0]]["attributes"][0]
+        if rng.random() < 0.5:
+            probe_attr = true_attr
+            answer = "yes"
+        else:
+            probe_attr = rng.choice(attrs)
+            while probe_attr == true_attr:
+                probe_attr = rng.choice(attrs)
+            answer = "no"
+        question = f"Is the {name0} {rel} the {name1} {probe_attr}?"
+        full = f"{answer.capitalize()}, the {name0} is " + \
+            ("" if answer == "yes" else "not ") + f"{probe_attr}."
+        instrs = [f"select ( {name0} )",
+                  f"relate_name ( [0], {rel}, {name1} )",
+                  f"verify_attr ( [0], {probe_attr} )"]
+        buffer = [[i0], [i1], [i0]]
 
     flat_tokens = []
     hier = []
@@ -141,10 +165,12 @@ def main():
 
     rng = random.Random(args.seed)
     names = _load_lines("name_gqa.txt")
-    attrs = _load_lines("attr_gqa.txt")
     rels = _load_lines("rel_gqa.txt")
     ans2label, _ = load_answer_maps()
     answers = sorted(ans2label.keys())
+    # only attributes that are legal short answers become object attributes
+    # (so every attribute-query/verify question is answerable)
+    attrs = [a for a in _load_lines("attr_gqa.txt") if a in ans2label]
 
     out = pathlib.Path(args.out)
     (out / "questions").mkdir(parents=True, exist_ok=True)
@@ -167,7 +193,7 @@ def main():
             sid = sids[rng.randrange(len(sids))]
             qs.append(make_question(rng, qid=q, image_id=sid,
                                     scene=scenes[sid], answers=answers,
-                                    attrs=attrs, rels=rels))
+                                    attrs=attrs, rels=rels, names=names))
         (out / "questions" / f"{split}_programs.json").write_text(
             json.dumps(qs))
         n_obj = [len(s["objects"]) for s in scenes.values()]
