@@ -41,6 +41,9 @@ def get_args_parser():
     p.add_argument("--lr-drop", default=90, type=int)
     p.add_argument("--wd", "--weight-decay", default=0.0, type=float,
                    dest="weight_decay")
+    p.add_argument("--clip-grad", default=0.0, type=float, metavar="NORM",
+                   help="global gradient-norm clip before Adam (0 = off, "
+                        "the reference behavior)")
     p.add_argument("-j", "--workers", default=0, type=int,
                    help="batch-collate worker processes (the reference "
                         "DataLoader's -j, mainExplain_gat.py:201-209); "
@@ -331,7 +334,8 @@ def main(args):
               + (", sg rows injected" if sg_glove is not None else ""))
 
     state = create_train_state(variables, lr=args.lr, lr_drop=args.lr_drop,
-                               weight_decay=args.weight_decay)
+                               weight_decay=args.weight_decay,
+                               clip_grad=args.clip_grad)
     start_epoch = args.start_epoch
     if args.resume:
         state, start_epoch = restore_checkpoint(args.resume, state)

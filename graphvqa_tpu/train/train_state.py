@@ -31,9 +31,10 @@ class TrainState:
     lr_drop: int = struct.field(pytree_node=False, default=90)
     lr_gamma: float = struct.field(pytree_node=False, default=0.1)
     weight_decay: float = struct.field(pytree_node=False, default=0.0)
+    clip_grad: float = struct.field(pytree_node=False, default=0.0)
 
     def tx(self) -> optax.GradientTransformation:
-        return _make_tx(self.weight_decay)
+        return _make_tx(self.weight_decay, self.clip_grad)
 
     def current_lr(self) -> jax.Array:
         return step_lr(self.base_lr, self.lr_drop, self.lr_gamma, self.epoch)
@@ -56,8 +57,15 @@ class TrainState:
         return self.replace(epoch=self.epoch + 1)
 
 
-def _make_tx(weight_decay: float) -> optax.GradientTransformation:
-    steps = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+def _make_tx(weight_decay: float,
+             clip_grad: float = 0.0) -> optax.GradientTransformation:
+    # optional global-norm clipping BEFORE Adam (the reference has none;
+    # off by default — observed loss spikes on synthetic at-scale runs
+    # motivate the knob)
+    steps = []
+    if clip_grad:
+        steps.append(optax.clip_by_global_norm(clip_grad))
+    steps.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     if weight_decay:
         steps.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*steps)
@@ -69,16 +77,18 @@ def create_train_state(
     lr_drop: int = 90,
     lr_gamma: float = 0.1,
     weight_decay: float = 0.0,
+    clip_grad: float = 0.0,
 ) -> TrainState:
     params = variables["params"]
     return TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=_make_tx(weight_decay).init(params),
+        opt_state=_make_tx(weight_decay, clip_grad).init(params),
         step=jnp.asarray(0, jnp.int32),
         epoch=jnp.asarray(0, jnp.int32),
         base_lr=lr,
         lr_drop=lr_drop,
         lr_gamma=lr_gamma,
         weight_decay=weight_decay,
+        clip_grad=clip_grad,
     )

@@ -156,3 +156,28 @@ def test_steps_per_dispatch_matches_sequential():
                     jax.tree.leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_clip_grad_bounds_update():
+    """--clip-grad: with an extreme clip the update direction's norm is
+    bounded; without, identical config takes a larger step."""
+    cfg, model, state, batch, ds, _ = _setup()
+    from graphvqa_tpu.train.train_state import create_train_state
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    s_clip = create_train_state(variables, lr=cfg.train.lr,
+                                clip_grad=1e-6)
+    s_free = create_train_state(variables, lr=cfg.train.lr)
+    step = make_train_step(model, cfg)
+    rng = jax.random.key(1)
+    out_c, _ = step(s_clip, batch, rng)
+    out_f, _ = step(s_free, batch, rng)
+
+    def delta(a, b):
+        return float(sum(
+            np.square(np.asarray(x - y, np.float64)).sum()
+            for x, y in zip(jax.tree.leaves(a.params),
+                            jax.tree.leaves(b.params)))) ** 0.5
+    d_clip = delta(out_c, s_clip)
+    d_free = delta(out_f, s_free)
+    assert d_clip < d_free  # clipping shrank the step
+    assert d_clip > 0       # but did not zero it
