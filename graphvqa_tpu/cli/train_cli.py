@@ -398,6 +398,10 @@ def main(args):
           f"{_time.perf_counter() - t0:.1f}s")
 
     from graphvqa_tpu.data.prefetch import prefetch
+    if (args.steps_per_dispatch > 1
+            and (args.data_parallel > 1 or args.edge_parallel > 1)):
+        print("note: --steps-per-dispatch applies to the single-device "
+              "path only; ignored under --data-parallel/--edge-parallel")
     if args.data_parallel > 1 or args.edge_parallel > 1:
         # mesh training: stack data_parallel collated shards per step and let
         # shard_map pmean the gradients (the DDP replacement); with
