@@ -51,7 +51,11 @@ def _tokenize_chunk(chunk: str, out: List[str]) -> None:
         chunk = chunk[:-1]
     out.extend(lead)
     for part in _INFIX.split(chunk) if chunk else ():
-        exc = _EXCEPTIONS.get(part.lower())
+        # spacy's exception table is case-sensitive and only contains
+        # lowercase and title-case entries ("cannot"/"Cannot", not
+        # "CANNOT") — other casings pass through as one token
+        exc = (_EXCEPTIONS.get(part.lower())
+               if part.islower() or part.istitle() else None)
         if exc is not None:
             # preserve the original casing of the first piece like spacy
             # ("Cannot" -> "Can", "not")

@@ -360,3 +360,28 @@ def test_size_bucketing_cuts_bumped_batches(tmp_path):
             assert meta["real_count"] == 30  # all batches full
             seen.update(meta["question_ids"])
     assert len(seen) == len(ds), (len(seen), len(ds))
+
+
+def test_decode_batch_matches_per_row_decode():
+    """Vectorized decode_batch == per-row decode on every edge case: glued
+    punctuation, out-of-range ids, rows with no <end>, empty rows, rows
+    that start mid-sentence (validate()'s dump path rides this,
+    train/loop.py)."""
+    import numpy as np
+    from graphvqa_tpu.data.vocab import Vocab
+
+    v = Vocab(["<unk>", "<pad>", "<start>", "<end>",
+               "a", "dog", "'", "s", "ball", ".", ","])
+    rows = np.asarray([
+        [2, 4, 5, 3, 1, 1],          # <start> a dog <end> pad pad
+        [2, 5, 6, 7, 9, 3],          # dog 's . glued punctuation
+        [4, 5, 8, 4, 5, 8],          # no <end>: runs to the end
+        [2, 3, 1, 1, 1, 1],          # empty (immediately <end>)
+        [1, 1, 1, 1, 1, 1],          # all padding
+        [2, 99, 5, -3, 3, 1],        # out-of-range ids -> <unk>
+        [10, 4, 3, 1, 1, 1],         # leading punctuation (no glue target)
+    ], np.int32)
+    expected = [v.decode(r) for r in rows]
+    assert v.decode_batch(rows) == expected
+    # 1-D input also accepted
+    assert v.decode_batch(rows[1]) == [expected[1]]
