@@ -114,12 +114,24 @@ def get_args_parser():
                    help="run K optimizer steps per device dispatch (one "
                         "lax.scan over K stacked batches): amortizes "
                         "per-step host dispatch latency; semantically K "
-                        "single steps. Single-device path only")
+                        "single steps. Composes with --data-parallel/"
+                        "--edge-parallel (the scan wraps the mesh step)")
+    p.add_argument("--program-loss", default="default",
+                   choices=["default", "on", "off"],
+                   help="override the model config's program-CE loss term: "
+                        "the reference GAT driver trains with short-answer "
+                        "CE + 0*programs (mainExplain_gat.py:542) while the "
+                        "gcn/gine/lcgn drivers add program CE "
+                        "(mainExplain_gcn.py:523,540); 'on' applies the "
+                        "latter recipe to any model")
     p.add_argument("--rounds", default=None, type=int,
                    help="engine message-passing rounds (default: the model "
                         "config's, 5 — the reference hardcodes 5, "
                         "pipeline_model_gat.py:683-687)")
-    p.add_argument("--use-execution-engine", action="store_true")
+    p.add_argument("--use-execution-engine", action="store_true",
+                   help="build the recurrent execution engine + bitmap head "
+                        "(C17) and train its BCE against the GT execution "
+                        "bitmap (mainExplain_gat.py:325,504)")
     p.add_argument("--compile-cache", default="", metavar="DIR",
                    help="persistent XLA compilation cache directory: repeat "
                         "runs skip the multi-minute first-epoch compiles "
@@ -301,7 +313,11 @@ def main(args):
             epochs=args.epochs, batch_size=args.batch_size,
             weight_decay=args.weight_decay, seed=args.seed,
             print_freq=args.print_freq, output_dir=str(out_dir),
-            validate_every=args.validate_every),
+            validate_every=args.validate_every,
+            **({"use_bitmap_loss": True} if args.use_execution_engine
+               else {}),
+            **({} if args.program_loss == "default" else
+               {"use_program_loss": args.program_loss == "on"})),
     )
 
     model = PipelineModel(cfg.model)
@@ -341,7 +357,6 @@ def main(args):
         state, start_epoch = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    eval_step = make_eval_step(model, cfg)
     rng = jax.random.key(args.seed + 3)
     fast_validate = args.fast_validate or None
 
@@ -349,20 +364,43 @@ def main(args):
     # mainExplain_gat.py:197-198): each process packs its slice of the epoch
     proc, nproc = jax.process_index(), jax.process_count()
 
-    def eval_batches(ds):
-        it = ds.iter_batches(cfg.batch, shard_index=proc, num_shards=nproc)
-        if args.data_parallel > 1 or args.edge_parallel > 1:
-            # GSPMD data-parallel eval: shard every leaf's leading axis over
-            # the data axis of the SAME device set the train state lives on
-            # (the edge axis, if any, stays replicated for eval)
-            from graphvqa_tpu.parallel import make_mesh
-            from graphvqa_tpu.parallel.data_parallel import shard_eval_batches
-            n_dev = args.data_parallel * args.edge_parallel
-            eval_mesh = make_mesh(data=args.data_parallel,
-                                  edge=args.edge_parallel,
-                                  devices=jax.devices()[:n_dev])
-            return shard_eval_batches(it, eval_mesh)
-        return it
+    if args.edge_parallel > 1:
+        # edge-SHARDED greedy-decode eval (VERDICT r4 weak 7): the engine's
+        # edge arrays partition by destination ownership exactly as in
+        # training, so the big-graph regime evaluates under the same
+        # per-device edge memory; the data axis computes redundantly
+        # (parallel/edge_sharded.py:make_edge_eval_step)
+        from graphvqa_tpu.parallel import make_mesh
+        from graphvqa_tpu.parallel.edge_sharded import (
+            make_edge_eval_step, prepare_edge_eval_batch)
+        n_dev = args.data_parallel * args.edge_parallel
+        eval_mesh = make_mesh(data=args.data_parallel,
+                              edge=args.edge_parallel,
+                              devices=jax.devices()[:n_dev])
+        eval_step = make_edge_eval_step(model, cfg, eval_mesh)
+
+        def eval_batches(ds):
+            for meta, b in ds.iter_batches(cfg.batch, shard_index=proc,
+                                           num_shards=nproc):
+                yield meta, prepare_edge_eval_batch(b, eval_mesh)
+    else:
+        eval_step = make_eval_step(model, cfg)
+
+        def eval_batches(ds):
+            it = ds.iter_batches(cfg.batch, shard_index=proc,
+                                 num_shards=nproc)
+            if args.data_parallel > 1:
+                # GSPMD data-parallel eval: shard every leaf's leading axis
+                # over the data axis of the SAME device set the train state
+                # lives on
+                from graphvqa_tpu.parallel import make_mesh
+                from graphvqa_tpu.parallel.data_parallel import (
+                    shard_eval_batches)
+                eval_mesh = make_mesh(data=args.data_parallel, edge=1,
+                                      devices=jax.devices()
+                                      [:args.data_parallel])
+                return shard_eval_batches(it, eval_mesh)
+            return it
 
     if args.evaluate or args.evaluate_sets:
         for split in (args.evaluate_sets or [args.val_split]):
@@ -398,21 +436,19 @@ def main(args):
           f"{_time.perf_counter() - t0:.1f}s")
 
     from graphvqa_tpu.data.prefetch import prefetch
-    if (args.steps_per_dispatch > 1
-            and (args.data_parallel > 1 or args.edge_parallel > 1)):
-        print("note: --steps-per-dispatch applies to the single-device "
-              "path only; ignored under --data-parallel/--edge-parallel")
     if args.data_parallel > 1 or args.edge_parallel > 1:
         # mesh training: stack data_parallel collated shards per step and let
         # shard_map pmean the gradients (the DDP replacement); with
         # --edge-parallel K each shard's graphs additionally partition their
         # edges by destination ownership across the edge axis
         # (parallel/edge_sharded.py; reference launch:
-        # mainExplain_gat.py:259-263 had DDP only)
+        # mainExplain_gat.py:259-263 had DDP only). --steps-per-dispatch S
+        # composes: each dispatch carries S*data_parallel shard batches and
+        # scans S mesh steps on device.
         from graphvqa_tpu.parallel import (
             align_dense_group, make_dp_edge_train_step, make_dp_train_step,
-            make_mesh, prepare_dp_edge_batch, shard_batch_sharding,
-            stack_shards)
+            make_mesh, multi_step_batch_sharding, prepare_dp_edge_batch,
+            shard_batch_sharding, stack_dispatch_groups, stack_shards)
         n_dev = args.data_parallel * args.edge_parallel
         if len(jax.devices()) < n_dev:
             raise SystemExit(
@@ -421,6 +457,8 @@ def main(args):
                 f"{len(jax.devices())}")
         mesh = make_mesh(data=args.data_parallel, edge=args.edge_parallel,
                          devices=jax.devices()[:n_dev])
+        K = args.steps_per_dispatch
+        D = args.data_parallel
         if args.edge_parallel > 1:
             if cfg.batch.layout != "dense":
                 raise SystemExit("--edge-parallel requires --layout dense")
@@ -428,18 +466,26 @@ def main(args):
                 raise SystemExit(
                     f"--nodes-per-graph {cfg.batch.nodes_per_graph} must be "
                     f"divisible by --edge-parallel {args.edge_parallel}")
-            dp_step = make_dp_edge_train_step(model, cfg, mesh)
+            dp_step = make_dp_edge_train_step(model, cfg, mesh,
+                                              steps_per_dispatch=K)
 
             def put_group(group):
-                return prepare_dp_edge_batch(group, mesh)
+                return prepare_dp_edge_batch(group, mesh, steps=K)
         else:
-            dp_step = make_dp_train_step(model, cfg, mesh)
-            sharding = shard_batch_sharding(mesh)
+            dp_step = make_dp_train_step(model, cfg, mesh,
+                                         steps_per_dispatch=K)
+            sharding = (shard_batch_sharding(mesh) if K <= 1
+                        else multi_step_batch_sharding(mesh))
 
             def put_group(group):
                 group = align_dense_group(group)
-                stacked = stack_shards(
-                    [jax.tree.map(jnp.asarray, g) for g in group])
+                group = [jax.tree.map(jnp.asarray, g) for g in group]
+                if K <= 1:
+                    stacked = stack_shards(group)
+                else:
+                    stacked = stack_dispatch_groups(
+                        [stack_shards(group[i * D:(i + 1) * D])
+                         for i in range(K)])
                 return jax.device_put(stacked, sharding)
 
         def dp_batches(epoch):
@@ -447,12 +493,13 @@ def main(args):
                                        seed=args.seed + epoch, drop_last=True,
                                        shard_index=proc, num_shards=nproc,
                                        num_workers=args.workers,
-                                       size_bucket_windows=args.size_bucket)
+                                       size_bucket_windows=args.size_bucket,
+                                       permute_group=D * K)
             group, metas = [], []
             for m, b in it:
                 group.append(b)
                 metas.append(m)
-                if len(group) == args.data_parallel:
+                if len(group) == D * K:
                     # merge all shards' meta (ids/types concatenated in shard
                     # order) so downstream consumers see the full step batch
                     merged = {
@@ -466,7 +513,7 @@ def main(args):
         train_step = dp_step
         batches_fn = dp_batches
         steps_per_epoch = len(train_ds) // nproc // (args.batch_size
-                                                     * args.data_parallel)
+                                                     * D * K)
     elif args.steps_per_dispatch > 1:
         K = args.steps_per_dispatch
         train_step = make_train_step(model, cfg, steps_per_dispatch=K)
@@ -477,7 +524,7 @@ def main(args):
                 cfg.batch, shuffle=True, seed=args.seed + epoch,
                 drop_last=True, shard_index=proc, num_shards=nproc,
                 num_workers=args.workers,
-                size_bucket_windows=args.size_bucket)
+                size_bucket_windows=args.size_bucket, permute_group=K)
             group, metas = [], []
             for m, b in it:
                 group.append(b)

@@ -158,6 +158,7 @@ class GQADataset:
         num_shards: int = 1,
         num_workers: int = 0,
         size_bucket_windows: int = 0,
+        permute_group: int = 1,
     ) -> Iterator[tuple]:
         """Yield (meta, QABatch) pairs; meta carries ids/types for result dumps.
 
@@ -215,8 +216,18 @@ class GQADataset:
             chunks.append(idx)
         if shuffle and size_bucket_windows > 0 and len(chunks) > 1:
             # restore stochastic batch order (sizes were sorted within
-            # windows, so without this the epoch ramps small -> large)
-            chunks = [chunks[j] for j in rng.permutation(len(chunks))]
+            # windows, so without this the epoch ramps small -> large).
+            # ``permute_group`` > 1 permutes at that group granularity so
+            # consumers that stack G consecutive batches per dispatch
+            # (--data-parallel/--steps-per-dispatch) keep size-adjacent
+            # batches together — otherwise one scattered tail batch bumps
+            # its whole aligned group to the bumped static shape
+            g = max(permute_group, 1)
+            n_full = len(chunks) // g
+            tail = chunks[n_full * g:]   # partial group stays last so the
+            chunks = [chunks[i]          # group boundaries stay aligned
+                      for j in rng.permutation(n_full)
+                      for i in range(j * g, (j + 1) * g)] + tail
         if num_shards > 1:
             # Equalize the batch count across shards so cross-process
             # collectives (metric synchronize(), dump all-gathers) line up:
@@ -274,16 +285,24 @@ class GQADataset:
                     pass
 
     def _worker_pool(self, num_workers: int):
-        """Persistent fork pools, one per requested size, reused across
-        epochs (a per-epoch pool pays fork + cold per-worker graph caches
-        every epoch). The dataset is inherited by fork via a module global —
-        zero pickling. Pools are NEVER terminated mid-process:
-        ``Pool.terminate()`` with in-flight tasks (e.g. from an abandoned
-        fast-validate iterator) deadlocks joining its handler threads; idle
-        forked workers cost almost nothing."""
+        """Persistent fork pool, reused across epochs (a per-epoch pool pays
+        fork + cold per-worker graph caches every epoch). The dataset is
+        inherited by fork via a module global — zero pickling.
+
+        One live pool size at a time: requesting a different ``num_workers``
+        ``close()``s the old pool (workers drain their queue and exit; no
+        ``terminate()`` — terminating with in-flight tasks from an abandoned
+        fast-validate iterator deadlocks joining its handler threads) so a
+        process that sweeps several worker counts doesn't accumulate idle
+        forked pools for its lifetime. Expected usage is a single size per
+        process, forked right after ``prewarm()`` (before heavy JAX
+        dispatch) to minimize fork-after-threads risk."""
         pool = self._pools.get(num_workers)
         if pool is not None:
             return pool
+        for size, old in list(self._pools.items()):
+            old.close()   # lets in-flight tasks finish, then workers exit
+            del self._pools[size]
         import multiprocessing as mp
         global _WORKER_DS
         _WORKER_DS = self

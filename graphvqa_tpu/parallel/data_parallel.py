@@ -33,7 +33,7 @@ from graphvqa_tpu.core.graph import QABatch
 from graphvqa_tpu.models import PipelineModel
 from graphvqa_tpu.train.losses import total_loss
 from graphvqa_tpu.train.metrics import (
-    program_string_exact_match_acc, topk_accuracy)
+    program_string_exact_match_acc, reduce_scanned_metrics, topk_accuracy)
 from graphvqa_tpu.train.train_state import TrainState
 
 
@@ -82,7 +82,29 @@ def shard_eval_batches(batches, mesh: Mesh):
         yield meta, jax.device_put(jax.tree.map(jnp.asarray, batch), sh)
 
 
-def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callable:
+def stack_dispatch_groups(groups: Sequence[QABatch]) -> QABatch:
+    """Stack K per-dispatch stacked batches along a new leading scan axis
+    ([K, D, ...]); members must already share static shapes
+    (align_dense_group over ALL K*D shards before the per-group stack)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *groups)
+
+
+def multi_step_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [K, D, ...] stacked batch: scan axis unsharded,
+    shard axis on 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh,
+                       steps_per_dispatch: int = 1) -> Callable:
+    """``steps_per_dispatch`` > 1 composes the K-step ``lax.scan`` dispatch
+    amortization (train/loop.py make_train_step) with data parallelism: the
+    step takes a [K, D, ...] stacked batch (leading scan axis unsharded,
+    second axis on the 'data' mesh axis — :func:`multi_step_batch_sharding`)
+    and runs K sequential DP optimizer steps inside one dispatch.
+    Semantically identical to K single DP dispatches (rng folds on
+    state.step per inner step); exactness-tested in tests/test_parallel.py.
+    """
     pad = cfg.model.text.pad_idx
     tc = cfg.train
 
@@ -142,12 +164,20 @@ def make_dp_train_step(model: PipelineModel, cfg: Config, mesh: Mesh) -> Callabl
         out_specs=(P(), P(), P()),
     )
 
-    @jax.jit
-    def dp_train_step(state: TrainState, stacked_batch: QABatch,
-                      rng: jax.Array):
+    def step_body(state: TrainState, stacked_batch: QABatch, rng: jax.Array):
         grads, new_bs, metrics = mapped(
             state.params, state.batch_stats, state.step, stacked_batch, rng)
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, metrics
 
-    return dp_train_step
+    if steps_per_dispatch <= 1:
+        return jax.jit(step_body)
+
+    @jax.jit
+    def dp_multi_step(state: TrainState, stacked_k: QABatch, rng: jax.Array):
+        def scan_fn(st, batch_k):
+            return step_body(st, batch_k, rng)
+        new_state, ms = jax.lax.scan(scan_fn, state, stacked_k)
+        return new_state, reduce_scanned_metrics(ms)
+
+    return dp_multi_step

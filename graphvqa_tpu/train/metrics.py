@@ -79,3 +79,28 @@ def program_string_exact_match_acc(
     return ((match.sum(), jnp.asarray(total)),
             (group_match.sum(), jnp.asarray(total // group_size)),
             (non_empty_correct, non_empty_total))
+
+
+# Count-style metric keys (summed when reducing over the K inner steps of a
+# steps-per-dispatch lax.scan); everything else is a loss scalar (meaned —
+# equal-size batches) except lr (last). NOTE "total" alone is the total LOSS,
+# not a count.
+SCAN_COUNT_KEYS = frozenset({
+    "short_answer_correct", "short_answer_total", "program_correct",
+    "program_total", "program_group_correct", "program_group_total",
+    "program_nonempty_correct", "program_nonempty_total", "bitmap_tp",
+    "bitmap_pred_total", "bitmap_true_total", "edge_count"})
+
+
+def reduce_scanned_metrics(ms: dict) -> dict:
+    """Reduce a [K, ...]-stacked metrics dict (one row per inner step of a
+    steps-per-dispatch scan) to the same shape one dispatch reports."""
+    out = {}
+    for key, v in ms.items():
+        if key == "lr":
+            out[key] = v[-1]
+        elif key in SCAN_COUNT_KEYS:
+            out[key] = v.sum(axis=0)
+        else:
+            out[key] = v.mean(axis=0)
+    return out

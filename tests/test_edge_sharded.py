@@ -197,3 +197,73 @@ def test_shard_edges_by_dst_overflow_bumps_bucket():
     assert epg_loc >= 14
     total = sum(int(np.asarray(sh.edge_mask[j]).sum()) for j in range(4))
     assert total == e
+
+
+def test_edge_steps_per_dispatch_matches_sequential():
+    """K mesh steps inside one lax.scan dispatch == K single mesh dispatches
+    on the data x edge mesh (VERDICT r4 item 3)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 emulated devices")
+    cfg = _dropout_free_cfg()
+    mk = lambda s: random_qa_batch(seed=s, num_graphs=2, dense=True,
+                                   nodes_per_graph=8, edges_per_graph=16,
+                                   cfg=cfg.model)
+    b1, b2 = mk(5), mk(6)
+    model, state0 = _init(cfg, b1)
+    rng = jax.random.key(11)
+    mesh = make_mesh(data=1, edge=2, devices=jax.devices()[:2])
+
+    single = make_dp_edge_train_step(model, cfg, mesh)
+    s_seq, losses, counts = state0, [], 0
+    for b in (b1, b2):
+        s_seq, m = single(s_seq, prepare_dp_edge_batch([b], mesh), rng)
+        losses.append(float(m["total"]))
+        counts += int(m["short_answer_total"])
+
+    multi = make_dp_edge_train_step(model, cfg, mesh, steps_per_dispatch=2)
+    stacked_k = prepare_dp_edge_batch([b1, b2], mesh, steps=2)
+    s_multi, ms = multi(state0, stacked_k, rng)
+
+    assert int(s_multi.step) == int(s_seq.step)
+    np.testing.assert_allclose(float(ms["total"]), np.mean(losses), rtol=1e-5)
+    assert int(ms["short_answer_total"]) == counts
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_edge_sharded_eval_matches_single_device():
+    """Edge-sharded greedy-decode eval (VERDICT r4 weak 7) == the plain
+    eval step: same predictions, same sampled program tokens, same node
+    attention — the big-graph regime evaluates under training's per-device
+    edge memory."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 emulated devices")
+    from graphvqa_tpu.parallel.edge_sharded import (
+        make_edge_eval_step, prepare_edge_eval_batch)
+    from graphvqa_tpu.train.loop import make_eval_step
+
+    cfg = _dropout_free_cfg()
+    batch = random_qa_batch(seed=7, num_graphs=2, dense=True,
+                            nodes_per_graph=8, edges_per_graph=16,
+                            cfg=cfg.model)
+    model, state = _init(cfg, batch)
+    rng = jax.random.key(13)
+
+    ref_step = make_eval_step(model, cfg)
+    vec1, prog1, att1 = ref_step(state, batch, rng)
+
+    mesh = make_mesh(data=1, edge=2, devices=jax.devices()[:2])
+    edge_step = make_edge_eval_step(model, cfg, mesh)
+    sharded = prepare_edge_eval_batch(batch, mesh)
+    vec2, prog2, att2 = edge_step(state, sharded, rng)
+
+    np.testing.assert_array_equal(np.asarray(prog1), np.asarray(prog2))
+    np.testing.assert_array_equal(np.asarray(vec1["sa_pred"]),
+                                  np.asarray(vec2["sa_pred"]))
+    np.testing.assert_allclose(np.asarray(vec1["sa_score"]),
+                               np.asarray(vec2["sa_score"]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(att1), np.asarray(att2),
+                               rtol=5e-4, atol=5e-5)
