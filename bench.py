@@ -193,6 +193,9 @@ def main():
     ap.add_argument("--all-engines", action="store_true",
                     help="also time the GCN/GINE/LCGN dense engines "
                          "(detail lines on stderr; JSON line unchanged)")
+    ap.add_argument("--no-full-model", action="store_true",
+                    help="skip the full-model train/eval QA/s measurement "
+                         "(engine microbenchmark only)")
     args = ap.parse_args()
     _log("devices:", jax.devices())
 
@@ -216,12 +219,33 @@ def main():
     eps_unsorted = bench_gat_engine(graph_unsorted, real_edges,
                                     label="flat-unsorted-baseline")
 
-    print(json.dumps({
+    result = {
         "metric": "gat_engine_edge_traversals_per_s",
         "value": round(eps_dense, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps_dense / eps_unsorted, 3),
-    }), flush=True)
+    }
+
+    # system-level headline next to the engine microbenchmark (VERDICT r4
+    # item 9): full-model train-step and greedy-decode eval-step QA pairs/s
+    # at production dims — the numbers a round of host/dispatch/system work
+    # actually moves
+    if not args.no_full_model:
+        import contextlib
+        import io
+        import pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "tools"))
+        from bench_full_model import measure
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fm = measure()
+        _log(buf.getvalue())
+        result["train_qa_per_s"] = round(fm["train_qa_per_s"], 1)
+        result["eval_qa_per_s"] = round(fm["eval_qa_per_s"], 1)
+        result["train_ms_per_step"] = round(fm["train_s_per_step"] * 1e3, 2)
+        result["eval_ms_per_step"] = round(fm["eval_s_per_step"] * 1e3, 2)
+
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -23,12 +23,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--graphs", type=int, default=512)
-    ap.add_argument("--iters", type=int, nargs=2, default=(2, 8))
-    args = ap.parse_args()
-
+def measure(graphs: int = 512, iters=(2, 8)) -> dict:
+    """Measure full-model train and greedy-decode eval step times at
+    production dims; returns {"train_s_per_step", "train_qa_per_s",
+    "eval_s_per_step", "eval_qa_per_s", "params", "real_edges"}. Used by
+    main() below and by bench.py's system-level JSON (VERDICT r4 item 9)."""
     import jax
     # shipping default (cli/train_cli.py --prng rbg); override via env
     import os
@@ -45,7 +44,7 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     cfg = CONFIG_FACTORY["gat"]()
-    B = args.graphs
+    B = graphs
     bcfg = BatchConfig(num_graphs=B, layout="dense", nodes_per_graph=64,
                        edges_per_graph=256, question_len=32, program_len=16,
                        full_answer_len=20)
@@ -80,13 +79,14 @@ def main():
             out = chain(*chain_args, n)
             _ = np.asarray(out)[()]
             return time.perf_counter() - t0
-        lo, hi = args.iters
+        lo, hi = iters
         run(lo); run(hi)
         t_lo = min(run(lo) for _ in range(2))
         t_hi = min(run(hi) for _ in range(2))
         per = (t_hi - t_lo) / (hi - lo)
         print(f"{name}: {per*1e3:.1f} ms/step = {B/per:.0f} QA pairs/s "
               f"({real_edges/per:.3} engine edges/s/round-set)", flush=True)
+        return per
 
     # --- training step (forward+backward+Adam), carried through TrainState
     from graphvqa_tpu.train.loop import make_train_step
@@ -101,7 +101,7 @@ def main():
             return st2
         st = jax.lax.fori_loop(0, n, body, state)
         return st.params["logit_fc_out"]["bias"][0]
-    timed("train step", train_chain, state, batch)
+    train_per = timed("train step", train_chain, state, batch)
 
     # --- eval step (greedy decode); carry perturbs the text embedding
     @functools.partial(jax.jit, static_argnums=(2,))
@@ -117,7 +117,18 @@ def main():
                 use_running_average=True, rngs={"lcgn_ctx": jax.random.key(0)})
             return c + out.short_answer_logits[0, 0] * 1e-30
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-    timed("eval step (greedy decode)", eval_chain, state, batch)
+    eval_per = timed("eval step (greedy decode)", eval_chain, state, batch)
+    return {"train_s_per_step": train_per, "train_qa_per_s": B / train_per,
+            "eval_s_per_step": eval_per, "eval_qa_per_s": B / eval_per,
+            "params": n_params, "real_edges": real_edges}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", type=int, default=512)
+    ap.add_argument("--iters", type=int, nargs=2, default=(2, 8))
+    args = ap.parse_args()
+    measure(graphs=args.graphs, iters=tuple(args.iters))
 
 
 if __name__ == "__main__":

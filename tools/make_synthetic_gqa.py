@@ -70,8 +70,11 @@ _STRUCTURAL = ["query", "verify", "choose", "logical", "compare"]
 _SEMANTIC = ["attr", "obj", "rel", "cat", "global"]
 
 
+_KINDS = ("attr_query", "exist", "verify_attr")
+
+
 def make_question(rng: random.Random, qid: int, image_id: str, scene: dict,
-                  answers, attrs, rels, names):
+                  answers, attrs, rels, names, kinds=_KINDS):
     """Answers are DERIVABLE from the scene graph (not random), so training
     on this data is a real learning task: existence questions are answered
     by scene content, attribute queries by the queried object's first
@@ -86,7 +89,7 @@ def make_question(rng: random.Random, qid: int, image_id: str, scene: dict,
     rel = rng.choice(rels)
     present = {o["name"] for o in objects.values()}
 
-    kind = rng.randrange(3)
+    kind = _KINDS.index(rng.choice(kinds))
     if kind == 0:
         # attribute query: ground truth = the object's first attribute
         question = f"What is the {name0} like?"
@@ -161,10 +164,22 @@ def main():
     p.add_argument("--val-questions", type=int, default=10000)
     p.add_argument("--scenes", type=int, default=9000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--kinds", default=",".join(_KINDS),
+                   help="comma list of question kinds to emit "
+                        f"(subset of {_KINDS}); e.g. --kinds exist for the "
+                        "existence-only learnability probe (VERDICT r4 §1b)")
+    p.add_argument("--names", type=int, default=0, metavar="N",
+                   help="restrict the object-name vocabulary to the first N "
+                        "names (0 = all 1702) — shrinks the text<->scene "
+                        "binding problem for learnability probes")
     args = p.parse_args()
 
+    kinds = tuple(k.strip() for k in args.kinds.split(",") if k.strip())
+    assert all(k in _KINDS for k in kinds), kinds
     rng = random.Random(args.seed)
     names = _load_lines("name_gqa.txt")
+    if args.names:
+        names = names[: args.names]
     rels = _load_lines("rel_gqa.txt")
     ans2label, _ = load_answer_maps()
     answers = sorted(ans2label.keys())
@@ -193,7 +208,8 @@ def main():
             sid = sids[rng.randrange(len(sids))]
             qs.append(make_question(rng, qid=q, image_id=sid,
                                     scene=scenes[sid], answers=answers,
-                                    attrs=attrs, rels=rels, names=names))
+                                    attrs=attrs, rels=rels, names=names,
+                                    kinds=kinds))
         (out / "questions" / f"{split}_programs.json").write_text(
             json.dumps(qs))
         n_obj = [len(s["objects"]) for s in scenes.values()]
