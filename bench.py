@@ -196,6 +196,11 @@ def main():
     ap.add_argument("--no-full-model", action="store_true",
                     help="skip the full-model train/eval QA/s measurement "
                          "(engine microbenchmark only)")
+    ap.add_argument("--quick", action="store_true",
+                    help="dense-bf16 engine only (for kernel A/Bs): skips "
+                         "the f32/flat/naive runs and the full model; "
+                         "vs_baseline uses the recorded 2.8 M/s naive "
+                         "number instead of re-measuring it")
     args = ap.parse_args()
     _log("devices:", jax.devices())
 
@@ -204,6 +209,14 @@ def main():
     graph_dense, real_edges = make_batch(dense=True)
     eps_dense = bench_gat_engine(graph_dense, real_edges, label="dense-bf16",
                                  dtype="bfloat16")
+    if args.quick:
+        print(json.dumps({
+            "metric": "gat_engine_edge_traversals_per_s",
+            "value": round(eps_dense, 1),
+            "unit": "edges/s",
+            "vs_baseline": round(eps_dense / 2.8e6, 3),
+        }), flush=True)
+        return
     bench_gat_engine(graph_dense, real_edges, label="dense-f32")
 
     if args.all_engines:

@@ -73,6 +73,20 @@ _SOFTMAX_EPS = 1e-16  # torch_geometric.utils.softmax denominator
 #          the compiler's relayout partially fuses.
 _P_LAYOUT = os.environ.get("GRAPHVQA_P_LAYOUT", "hij")
 
+# Softmax stabilizer constant (ROOFLINE.md "remaining levers" #3, round 5):
+#   'dst':   torch_geometric-exact per-DESTINATION max — needs a masked
+#            [B, epg, rows, H] reduce plus a max_e incidence matmul to
+#            re-broadcast the max per edge (two of the one-hot re-reads the
+#            lever names).
+#   'graph': per-GRAPH max — softmax is invariant to any constant that is
+#            uniform across a destination's edges, and the graph max is;
+#            the reduce collapses to [B, epg, H] -> [B, H] and the
+#            re-broadcast matmul disappears. Exact up to fp (denominator
+#            scale changes by exp(dst_max - graph_max), so the +1e-16 eps
+#            weighs relatively heavier; underflow needs a per-graph logit
+#            spread > ~80 in f32). Measured on v5e: see ROOFLINE.md.
+_SOFTMAX_SHIFT = os.environ.get("GRAPHVQA_SOFTMAX_SHIFT", "dst")
+
 
 def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
     B, npg, epg = graph.num_graphs, graph.nodes_per_graph, graph.edges_per_graph
@@ -200,24 +214,33 @@ def _dense_softmax_stats(
     """
     B, npg, epg = _dense_shapes(graph)
     H = logits.shape[-1]
-    ohb = oh_dst != 0
     lg = jnp.where(graph.edge_mask[:, None], logits, _NEG_INF)
     lg = lg.reshape(B, epg, H)
 
-    # per-destination max: masked reduce over the edge axis (XLA fuses the
-    # select into the reduction; nothing [B,epg,rows,H]-sized reaches HBM)
-    seg_max = jnp.max(
-        jnp.where(ohb[:, :, :, None], lg[:, :, None, :], _NEG_INF),
-        axis=1)                                          # [B, rows, H]
-    # the max only stabilizes the exp — softmax is invariant to it, so its
-    # gradient contributions cancel exactly; stop_gradient keeps that
-    # cancellation exact in fp
-    seg_max = jax.lax.stop_gradient(seg_max)
-    seg_max = jnp.maximum(seg_max, _NEG_INF)
+    if _SOFTMAX_SHIFT == "graph":
+        # per-graph max: a valid stabilizer (uniform across every
+        # destination's edges) that needs neither the [B,epg,rows,H]
+        # masked reduce nor the per-edge re-broadcast matmul
+        seg_max = jax.lax.stop_gradient(jnp.max(lg, axis=1))     # [B, H]
+        seg_max = jnp.maximum(seg_max, _NEG_INF)
+        max_e = seg_max[:, None, :]
+    else:
+        ohb = oh_dst != 0
+        # per-destination max: masked reduce over the edge axis (XLA fuses
+        # the select into the reduction; nothing [B,epg,rows,H]-sized
+        # reaches HBM)
+        seg_max = jnp.max(
+            jnp.where(ohb[:, :, :, None], lg[:, :, None, :], _NEG_INF),
+            axis=1)                                          # [B, rows, H]
+        # the max only stabilizes the exp — softmax is invariant to it, so
+        # its gradient contributions cancel exactly; stop_gradient keeps
+        # that cancellation exact in fp
+        seg_max = jax.lax.stop_gradient(seg_max)
+        seg_max = jnp.maximum(seg_max, _NEG_INF)
 
-    # re-broadcast per edge via the incidence matmul, then exp
-    max_e = jnp.einsum("bei,bih->beh", oh_dst, seg_max,
-                       preferred_element_type=jnp.float32)   # [B, epg, H]
+        # re-broadcast per edge via the incidence matmul, then exp
+        max_e = jnp.einsum("bei,bih->beh", oh_dst, seg_max,
+                           preferred_element_type=jnp.float32)  # [B, epg, H]
     shifted = lg - max_e
     mask3 = graph.edge_mask.reshape(B, epg)[:, :, None]
     shifted = jnp.where(mask3, shifted, 0.0)

@@ -262,3 +262,24 @@ def test_gine_seq_dense_vs_flat_parity():
     np.testing.assert_allclose(np.asarray(out_flat)[rf],
                                np.asarray(out_dense)[rd],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_softmax_graph_shift_matches_dst_shift(monkeypatch):
+    """GRAPHVQA_SOFTMAX_SHIFT=graph (ROOFLINE lever #3: kills the
+    [B,epg,rows,H] masked max reduce and the max_e re-broadcast matmul) is
+    an exact softmax up to fp — same alphas as the torch_geometric-exact
+    per-destination shift."""
+    import graphvqa_tpu.ops.dense as D
+
+    rng = np.random.default_rng(11)
+    samples = [random_sample(rng, int(rng.integers(4, 8)),
+                             int(rng.integers(5, 14))) for _ in range(4)]
+    gb = jax.tree.map(jnp.asarray, pack_graphs_dense(samples, 8, 16))
+    logits = jnp.asarray(
+        rng.normal(size=(gb.edges_pad, 3)).astype(np.float32) * 5)
+
+    a_dst = D.dense_segment_softmax(gb, logits)
+    monkeypatch.setattr(D, "_SOFTMAX_SHIFT", "graph")
+    a_graph = D.dense_segment_softmax(gb, logits)
+    np.testing.assert_allclose(np.asarray(a_dst), np.asarray(a_graph),
+                               rtol=2e-5, atol=2e-6)
