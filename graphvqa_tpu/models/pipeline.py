@@ -69,12 +69,14 @@ class PipelineModel(nn.Module):
         self.program_decoder = ProgramDecoder(
             self.text_embed, c.text.vocab_size, c.max_execution_steps,
             t.hidden_dim, t.num_heads, t.ffn_dim, t.num_layers, t.dropout,
-            c.text.sos_idx, c.program_decode_len, dtype)
+            sos_idx=c.text.sos_idx, pad_idx=c.text.pad_idx,
+            max_decode_len=c.program_decode_len, dtype=dtype)
         if c.use_full_answer:
             self.full_answer_decoder = FullAnswerDecoder(
                 self.text_embed, c.text.vocab_size, t.hidden_dim, t.num_heads,
-                t.ffn_dim, t.num_layers, 0.1, c.text.sos_idx,
-                c.full_answer_decode_len, dtype)
+                t.ffn_dim, t.num_layers, 0.1,
+                sos_idx=c.text.sos_idx, pad_idx=c.text.pad_idx,
+                max_decode_len=c.full_answer_decode_len, dtype=dtype)
 
         e = c.engine
         if e.kind in ("gat", "none"):

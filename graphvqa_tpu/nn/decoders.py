@@ -31,6 +31,23 @@ from graphvqa_tpu.nn.transformer import (
     causal_mask)
 
 
+def _greedy_token(logits: jax.Array, pad_idx: int, sos_idx: int) -> jax.Array:
+    """Argmax over *emittable* tokens: ``<pad>`` and ``<start>`` never appear
+    at a supervised target position (targets are the shifted program/answer
+    streams, where pad only pads after ``<end>`` and is masked out of the CE),
+    so their logits receive no down-weighting gradient and raw argmax can tip
+    into them — most visibly in bf16 where near-ties are common. The torch
+    reference argmaxes the raw logits (pipeline_model_gat.py:441) and merely
+    never *hit* this at its training scale; masking the two never-valid
+    specials is the semantically-correct greedy step. ``<unk>`` stays
+    emittable (a legal target for OOV words). NaN guard: argmax of an
+    all-masked/-NaN row would silently emit 0 (= ``<unk>``); keep that
+    behavior but make the mask explicit."""
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    logits = logits.at[..., pad_idx].set(neg).at[..., sos_idx].set(neg)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 class ProgramDecoder(nn.Module):
     text_embed: PaddedEmbed      # shared text embedding
     vocab_size: int
@@ -41,6 +58,7 @@ class ProgramDecoder(nn.Module):
     num_layers: int = 3
     dropout: float = 0.1
     sos_idx: int = 2
+    pad_idx: int = 1
     max_decode_len: int = 16     # pipeline_model_gat.py:416
     dtype: jnp.dtype = jnp.float32
 
@@ -155,7 +173,8 @@ class ProgramDecoder(nn.Module):
             out, cache = self.fine_decoder.decode_step(
                 x_t, cache, cross_kvs, t - 1,
                 memory_group=self.num_queries)
-            nxt = jnp.argmax(self.vocab_decoder(out), axis=-1).astype(jnp.int32)
+            nxt = _greedy_token(self.vocab_decoder(out),
+                                self.pad_idx, self.sos_idx)
             return buf.at[:, t].set(nxt), cache
 
         buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))
@@ -173,6 +192,7 @@ class FullAnswerDecoder(nn.Module):
     num_layers: int = 3
     dropout: float = 0.5          # reference default dropout=0.5 (line 452)
     sos_idx: int = 2
+    pad_idx: int = 1
     max_decode_len: int = 20      # pipeline_model_gat.py:502
     dtype: jnp.dtype = jnp.float32
 
@@ -216,7 +236,8 @@ class FullAnswerDecoder(nn.Module):
             buf, cache = carry
             x_t = self._embed_step(buf[:, t - 1], t - 1)
             out, cache = self.decoder.decode_step(x_t, cache, cross_kvs, t - 1)
-            nxt = jnp.argmax(self.vocab_decoder(out), axis=-1).astype(jnp.int32)
+            nxt = _greedy_token(self.vocab_decoder(out),
+                                self.pad_idx, self.sos_idx)
             return buf.at[:, t].set(nxt), cache
 
         buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))

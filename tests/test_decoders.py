@@ -34,6 +34,15 @@ def program_decoder():
     return dec, variables, memory
 
 
+def _mask_specials(logits, dec):
+    """sample() argmaxes over emittable tokens only (never <pad>/<start> —
+    see nn/decoders._greedy_token); the full-recompute oracle must match."""
+    logits = np.asarray(logits).copy()
+    logits[..., dec.pad_idx] = -np.inf
+    logits[..., dec.sos_idx] = -np.inf
+    return logits
+
+
 def _reference_greedy_program(dec, variables, memory):
     """Full-recompute greedy loop through the teacher-forced __call__."""
     T = dec.max_decode_len
@@ -41,7 +50,8 @@ def _reference_greedy_program(dec, variables, memory):
     buf = np.full((B * dec.num_queries, T), dec.sos_idx, np.int32)
     for t in range(1, T):
         logits, _ = dec.apply(variables, memory, jnp.asarray(buf))
-        buf[:, t] = np.argmax(np.asarray(logits[:, t - 1, :]), axis=-1)
+        buf[:, t] = np.argmax(_mask_specials(logits[:, t - 1, :], dec),
+                              axis=-1)
     return buf
 
 
@@ -73,7 +83,8 @@ def test_full_answer_sample_matches_full_recompute():
     buf = np.full((3, T), dec.sos_idx, np.int32)
     for t in range(1, T):
         logits = dec.apply(variables, memory, jnp.asarray(buf))
-        buf[:, t] = np.argmax(np.asarray(logits[:, t - 1, :]), axis=-1)
+        buf[:, t] = np.argmax(_mask_specials(logits[:, t - 1, :], dec),
+                              axis=-1)
 
     tokens = dec.apply(variables, memory, method=dec.sample)
     np.testing.assert_array_equal(np.asarray(tokens), buf)
