@@ -152,6 +152,14 @@ def get_args_parser():
                         "generation rode every big matmul's fusion) is "
                         "deterministic for a fixed backend/compiler version; "
                         "'threefry' is bit-stable across versions")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override every dropout rate (transformer stacks, "
+                        "engine attention, classifier head) with one value; "
+                        "default keeps the reference rates (0.1 transformer "
+                        "/ 0.1 engine / 0.2 classifier, "
+                        "pipeline_model_gat.py defaults). Small-data probes "
+                        "are dropout-sensitive; --dropout 0 matches the "
+                        "tools/ab_torch_reference.py architecture exactly")
     p.add_argument("--tiny", action="store_true",
                    help="debug-scale model dims (CI golden tests / smoke "
                         "runs); same architecture and data path, ~100x fewer "
@@ -297,6 +305,15 @@ def main(args):
                 model_cfg.transformer, hidden_dim=64, num_heads=4,
                 ffn_dim=128, num_layers=2),
             classifier_hidden=64,
+        )
+    if args.dropout is not None:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            transformer=dataclasses.replace(model_cfg.transformer,
+                                            dropout=args.dropout),
+            engine=dataclasses.replace(model_cfg.engine,
+                                       dropout=args.dropout),
+            classifier_dropout=args.dropout,
         )
     cfg = dataclasses.replace(
         cfg,

@@ -166,7 +166,7 @@ class ProgramDecoder(nn.Module):
         # by its M instruction streams (exact vs repeat_interleave)
         cross_kvs = self.fine_decoder.precompute_cross_kv(memory)
 
-        def step(t, carry):
+        def step(carry, t):
             buf, cache = carry
             # feed position t-1 (tokens buf[:, t-1]) -> predict position t
             x_t = self._embed_program_step(buf[:, t - 1], instr_flat, t - 1)
@@ -175,9 +175,17 @@ class ProgramDecoder(nn.Module):
                 memory_group=self.num_queries)
             nxt = _greedy_token(self.vocab_decoder(out),
                                 self.pad_idx, self.sos_idx)
-            return buf.at[:, t].set(nxt), cache
+            return (buf.at[:, t].set(nxt), cache), None
 
-        buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))
+        # lax.scan, NOT lax.fori_loop: when a fori_loop decode is compiled
+        # INTO the surrounding jit (instr vectors + cross-KV precompute in
+        # the same XLA program), the TPU backend miscompiles the while loop
+        # and every emitted token degenerates to id 0 — eager execution,
+        # CPU jit, an unrolled loop, scan, and fori_loop behind an
+        # optimization_barrier all agree with the teacher-forced oracle
+        # (ROOFLINE.md "greedy-decode miscompile"). scan is the canonical
+        # fixed-trip-count loop and compiles correctly everywhere.
+        (buf, _), _ = jax.lax.scan(step, (buf0, cache0), jnp.arange(1, T))
         return buf, instr_mbd
 
 
@@ -232,13 +240,15 @@ class FullAnswerDecoder(nn.Module):
         cache0 = self.decoder.init_cache(B, T - 1)
         cross_kvs = self.decoder.precompute_cross_kv(memory)
 
-        def step(t, carry):
+        def step(carry, t):
             buf, cache = carry
             x_t = self._embed_step(buf[:, t - 1], t - 1)
             out, cache = self.decoder.decode_step(x_t, cache, cross_kvs, t - 1)
             nxt = _greedy_token(self.vocab_decoder(out),
                                 self.pad_idx, self.sos_idx)
-            return buf.at[:, t].set(nxt), cache
+            return (buf.at[:, t].set(nxt), cache), None
 
-        buf, _ = jax.lax.fori_loop(1, T, step, (buf0, cache0))
+        # scan, not fori_loop — see ProgramDecoder.sample (TPU while-loop
+        # miscompile when fused with the K/V precompute)
+        (buf, _), _ = jax.lax.scan(step, (buf0, cache0), jnp.arange(1, T))
         return buf
