@@ -84,8 +84,12 @@ _P_LAYOUT = os.environ.get("GRAPHVQA_P_LAYOUT", "hij")
 #            re-broadcast matmul disappears. Exact up to fp (denominator
 #            scale changes by exp(dst_max - graph_max), so the +1e-16 eps
 #            weighs relatively heavier; underflow needs a per-graph logit
-#            spread > ~80 in f32). Measured on v5e: see ROOFLINE.md.
-_SOFTMAX_SHIFT = os.environ.get("GRAPHVQA_SOFTMAX_SHIFT", "dst")
+#            spread > ~80 in f32). Measured on v5e: 39.50 M edges/s vs
+#            37.64 M for 'dst' (+4.9%, 1.368 ms/round) — ships as the
+#            default; GRAPHVQA_SOFTMAX_SHIFT=dst restores the
+#            torch_geometric-exact stabilizer (e.g. for bit-level A/Bs
+#            against converted reference checkpoints).
+_SOFTMAX_SHIFT = os.environ.get("GRAPHVQA_SOFTMAX_SHIFT", "graph")
 
 
 def _dense_shapes(graph: GraphBatch) -> Tuple[int, int, int]:
@@ -222,6 +226,14 @@ def _dense_softmax_stats(
         # destination's edges) that needs neither the [B,epg,rows,H]
         # masked reduce nor the per-edge re-broadcast matmul
         seg_max = jax.lax.stop_gradient(jnp.max(lg, axis=1))     # [B, H]
+        if graph.edge_axis is not None:
+            # under destination ownership the shift is already exact with
+            # the LOCAL max (uniform across every owned destination's
+            # edges, which are all local) — this tiny [B, H] pmax only
+            # makes the constant equal to the unsharded run's global max,
+            # keeping the sharded-vs-single-device gradient-exactness
+            # tests bitwise-meaningful
+            seg_max = jax.lax.pmax(seg_max, graph.edge_axis)
         seg_max = jnp.maximum(seg_max, _NEG_INF)
         max_e = seg_max[:, None, :]
     else:

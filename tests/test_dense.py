@@ -278,6 +278,7 @@ def test_softmax_graph_shift_matches_dst_shift(monkeypatch):
     logits = jnp.asarray(
         rng.normal(size=(gb.edges_pad, 3)).astype(np.float32) * 5)
 
+    monkeypatch.setattr(D, "_SOFTMAX_SHIFT", "dst")
     a_dst = D.dense_segment_softmax(gb, logits)
     monkeypatch.setattr(D, "_SOFTMAX_SHIFT", "graph")
     a_graph = D.dense_segment_softmax(gb, logits)
