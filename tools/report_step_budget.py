@@ -24,17 +24,19 @@ import re
 import sys
 from collections import defaultdict
 
-# (bucket, regex over the framework op path) — first match wins
+# (bucket, regex over the framework op path) — first match wins.
+# Scope names as XLA records them: jit(train_step_body)/jvp(PipelineModel)/
+# <module attr>/... with the backward under transpose(jvp(...)).
 _COMPONENTS = [
-    ("engine (gat_seq)", r"gat_seq|GATSeq|dense_gat|edge_weight|"
-                         r"softmax_stats|assemble_dst|onehot|GATLayer"),
+    ("engine (gat rounds)", r"/engine/|gat_seq|dense_gat|edge_weight|"
+                            r"softmax_stats|assemble_dst"),
     ("scene-graph encoder", r"scene_graph_encoder|sg_vocab_embedding|"
-                            r"SceneGraphMetaLayer|bag_sum|graph_layer_norm"),
+                            r"meta_layer|bag_sum|graph_layer_norm"),
     ("question encoder", r"question_encoder"),
     ("program decoder", r"program_decoder"),
     ("full-answer decoder", r"full_answer_decoder"),
-    ("execution engine", r"execution_engine|ExecutionEngine"),
-    ("pooling + classifier", r"pooling|logit_fc|attention_pooling"),
+    ("execution engine", r"execution_engine"),
+    ("pooling + classifier", r"pooling|logit_fc|classifier"),
     ("loss + metrics", r"total_loss|cross_entropy|exact_match|topk|"
                        r"metrics|softmax_cross|one_hot_labels"),
     ("optimizer (adam)", r"adam|apply_gradients|optax|scale_by|clip_by"),
@@ -59,10 +61,11 @@ def parse_gviz(path: str):
 
 
 def pick(d: dict, *cands, default=None):
-    for k in d:
-        lk = k.lower()
-        for c in cands:
-            if c in lk:
+    """First candidate that matches ANY column wins (candidate priority,
+    not column order — 'HLO op name' must not shadow 'Framework op name')."""
+    for c in cands:
+        for k in d:
+            if c in k.lower():
                 return d[k]
     return default
 
@@ -89,14 +92,18 @@ def main():
     n = 0
     for row in parse_gviz(args.stats):
         n += 1
-        t = float(pick(row, "total time", "self time", "self-time",
-                       "self_duration", default=0.0) or 0.0)
+        t = float(pick(row, "total self time (us)", "total time",
+                       "self time", default=0.0) or 0.0)
         # xprof reports us in hlo_stats ("Total time (us)" / "Avg. time")
         name = str(pick(row, "framework op", "tf op", "op name",
                         default="") or "")
         hlo = str(pick(row, "hlo op name", "hlo_op", default="") or "")
-        fl = float(pick(row, "flop", default=0.0) or 0.0)
-        by = float(pick(row, "bytes accessed", "memory", default=0.0) or 0.0)
+        # hlo_stats exposes RATES, not counts: FLOPs = GFLOP/s x self time
+        flops_rate = float(pick(row, "model gflop/s", default=0.0) or 0.0)
+        fl = flops_rate * 1e9 * t * 1e-6
+        bw_rate = float(pick(row, "measured memory bw", "hbm bw",
+                             default=0.0) or 0.0)
+        by = bw_rate * (1 << 30) * t * 1e-6
         total_us += t
         total_flops += fl
         total_bytes += by
